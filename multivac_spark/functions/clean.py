@@ -1,0 +1,134 @@
+"""Document cleaning UDFs.
+
+Behavioral port of the reference's order-sensitive regex chain
+(src/data/textparsing.py:6-78 ``clean_doc``) plus the lightweight
+preprocessors (src/rdf_graph/rdf_extract.py:42-82). The chain must stay
+in ONE pandas UDF — the substitutions are order-sensitive, so expressing
+them as stacked ``regexp_replace`` columns would let Catalyst reorder
+nothing but would force 12 string materializations per row; a single
+Arrow-batched pass is both correct and faster (SURVEY.md §2.2).
+
+The spaCy-vocab check used by the hyphenated-word merge
+(textparsing.py:58-66) becomes a broadcast frozenset of the closed
+synthetic lexicon.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+
+# --- the clean_doc regex chain, semantics from textparsing.py:12-31 ------
+RE_CITATIONS_NUMERIC = re.compile(r"(\[\d+)(,\s*\d+)*]")
+RE_URL = re.compile(
+    r"((http|ftp|https):\/\/)?[-a-zA-Z0-9@:%._\+~#=]\"{2,256}\.[a-z]{2,6}"
+    r"\b([-a-zA-Z0-9@:%_\+.~#?&//=]*)")
+RE_INTEXT_CITE = re.compile(
+    r"((?:[A-Za-z][A-Za-z'`-éü-]+)(?:,? (?:(?:and |& )"
+    r"?(?:[A-Za-z][A-Za-z'`-éü-]+)|(?:et al.?)))*(?:,* "
+    r"*((?:19|20)[0-9][0-9][a-z]*)(\s*&\s*[0-9]*[a-z]*)"
+    r"*(, (\d+))*(?:, p.? [0-9]+)?| *\\((?:19|20)[0-9]"
+    r"[0-9][a-z](\s*&)(?:, p.? [0-9]+)?\\)))")
+RE_EMPTY_CITE = re.compile(r"\(([\s]*[;]+[\s]*)+\)")
+RE_EMPTY_EG = re.compile(r"\(e.g.[\s*;\s*]*[,]*\s*\)")
+RE_CLICK_HERE = re.compile(r"Click here[^.]*\.")
+RE_CID = re.compile(r"\(cid:\d+\)")
+RE_EMAIL = re.compile(r"[\w.-]+@[\w.-]+")
+RE_EMPTY_PARENS = re.compile(r"\(\s*\)")
+RE_EMPTY_SEE = re.compile(r"\(see(\s)*\)")
+RE_SPONSORS = re.compile(r"(This work was supported).+")
+RE_ARXIV_HEADER = re.compile(r"(a r X i v).*?(?=[a-zA-Z]{2,})")
+RE_VIXRA_HEADER = re.compile(r"^(\s?.?\s)+(v i X r a)")
+RE_HYPHENATED = re.compile(r"\S(?=\S*[-]\s)([a-zA-Z-]+)(\s)[A-za-z]+")
+
+# rdf_extract.py:25-39 preprocessor patterns
+RE_BREAK = re.compile(r"\n+")
+RE_SPACE = re.compile(r"\s+")
+RE_DOC_PARENS = re.compile(r"\(\)[\s,]*")
+RE_DOC_BRACKET = re.compile(r"\[\][\s,]*")
+RE_DOC_ELIPSES = re.compile(r"\.\s\.\s\.")
+
+_SMART_QUOTES = str.maketrans({"‘": "'", "’": "'",
+                               "“": '"', "”": '"',
+                               "–": "-", "—": "-"})
+
+
+def clean_document(doc: str, lexicon: frozenset[str]) -> str:
+    """Pure-function port of clean_doc (textparsing.py:33-78)."""
+    doc = RE_CID.sub(" ", doc)
+    doc = RE_CITATIONS_NUMERIC.sub(" NumericCitation ", doc)
+    doc = RE_URL.sub(" ", doc)
+    doc = RE_INTEXT_CITE.sub(" Citation ", doc)
+    doc = RE_EMPTY_CITE.sub(" ", doc)
+    doc = RE_EMPTY_EG.sub(" ", doc)
+    doc = RE_CLICK_HERE.sub(" ", doc)
+    doc = RE_EMAIL.sub(" ", doc)
+    doc = RE_EMPTY_PARENS.sub(" ", doc)
+    doc = RE_EMPTY_SEE.sub(" ", doc)
+    doc = RE_ARXIV_HEADER.sub(" ", doc)
+    doc = RE_VIXRA_HEADER.sub(" ", doc)
+
+    # sponsor tail: only removed when it starts in the 2nd half
+    # (textparsing.py:49-51)
+    for m in RE_SPONSORS.finditer(doc):
+        if m.start() > (len(doc) / 2):
+            doc = RE_SPONSORS.sub(" ", doc)
+
+    # hyphenated line-break words (textparsing.py:53-68): merge when the
+    # merged form is in the vocabulary; else keep the hyphen if every part
+    # is a word; else merge anyway.
+    for m in list(RE_HYPHENATED.finditer(doc)):
+        match = m.group(0)
+        merged = match.replace(" ", "").replace("-", "")
+        if merged in lexicon:
+            doc = doc.replace(match, merged)
+        else:
+            parts = match.replace(" ", "").split("-")
+            if all(p in lexicon for p in parts):
+                doc = doc.replace(match, match.replace(" ", ""))
+            else:
+                doc = doc.replace(match, merged)
+
+    # 500-char-prefix dedup (PubMed double-body guard, textparsing.py:70-76)
+    prefix = doc[0:500]
+    if prefix and doc.count(prefix) > 1:
+        pos_dup = doc.find(prefix, 1)
+        doc = doc[0:pos_dup - 1]
+
+    return doc
+
+
+def preprocess_document(doc: str) -> str:
+    """rdf_extract.preprocess_full_document semantics (rdf_extract.py:62-82);
+    smart-quote translation stands in for UnicodeDammit."""
+    doc = doc.translate(_SMART_QUOTES)
+    doc = RE_DOC_PARENS.sub("", doc)
+    doc = RE_DOC_BRACKET.sub("", doc)
+    doc = RE_DOC_ELIPSES.sub("...", doc)
+    doc = RE_BREAK.sub(" ", doc)
+    doc = RE_SPACE.sub(" ", doc)
+    return doc
+
+
+def clean_text_stage(df, lexicon: frozenset[str],
+                     text_col: str = "text", out_col: str = "clean_text"):
+    """documents + text → + clean_text. NULL text flows through as NULL
+    (FIXTURES.md invariant #5)."""
+    out_fields = df.schema.simpleString()  # not used; build schema via DDL
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    schema = schema + f", {out_col} string"
+    cols = [f.name for f in df.schema.fields] + [out_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                None if t is None else clean_document(t, lexicon)
+                for t in pdf[text_col]
+            ]
+            yield pdf[cols]
+
+    return df.mapInPandas(run, schema=schema)

@@ -1,0 +1,191 @@
+"""SVO triple extraction over parsed token arrays.
+
+Faithful reimplementation of the reference's custom dependency-subtree
+heuristic ``stanford_parse.substitute_rdfs`` (src/rdf_graph/
+rdf_parse.py:315-387) with its helpers ``pos_tree`` (:295-313),
+``in_children`` (:277-293) and ``get_children`` (:228-229), as a pure
+function over token arrays — vectorized at the batch level via
+mapInPandas and exploded to one row per triple.
+
+Replicated quirks (they matter for parity with the corrected-intent
+reference suite, SURVEY.md §3.1):
+
+* ``pos_tree`` returns tokens sorted by the *repr string*
+  ``"{i}:{text}=>{dep}:{head}"`` (rdf_parse.py:117-121,313) — so a
+  single noun/verb group keeps repr-lexicographic order ("10:" < "2:"),
+  while multi-group assignment re-sorts by token index
+  (rdf_parse.py:358,368,386).
+* containment pruning mutates the group list while iterating
+  (rdf_parse.py:331-339): of two identical groups only the first is
+  emptied.
+* with exactly one noun group it is assigned to SUBJECT even without a
+  subj dependency (rdf_parse.py:344-345); the triple then dies in the
+  empty-part filter downstream.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+TRIPLES_SCHEMA = ("url string, sent_id int, rdf_idx int, "
+                  "subj string, pred string, obj string")
+
+
+def _repr_key(t: dict) -> str:
+    # stanford_token.__repr__ (rdf_parse.py:117-121); head here is the
+    # 0-based governor exactly like stanford_token.head
+    return "{}:{}=>{}:{}".format(t["i"], t["text"], t["dep"], t["head"])
+
+
+def _children_index(tokens: list[dict]) -> list[list[int]]:
+    kids: list[list[int]] = [[] for _ in tokens]
+    for j, t in enumerate(tokens):
+        h = t["head"]
+        # get_children: t.head+1 == tok.i  (rdf_parse.py:228-229)
+        if 0 <= h < len(tokens) and h != j:
+            kids[h].append(j)
+    return kids
+
+
+def _pos_tree(tokens: list[dict], kids: list[list[int]], ti: int,
+              prefixes: tuple[str, ...]) -> list[int]:
+    """pos_tree semantics (rdf_parse.py:295-313): seed token included if
+    its POS matches; matching children recursed into only via matching
+    children. Returns indices sorted by repr-string."""
+    acc: set[int] = set()
+
+    def matches(j: int) -> bool:
+        p = tokens[j]["pos"] or ""
+        return any(p.startswith(x) for x in prefixes)
+
+    def walk(j: int, seed: bool) -> None:
+        if seed and matches(j):
+            acc.add(j)
+        for c in kids[j]:
+            if matches(c):
+                if c not in acc:
+                    acc.add(c)
+                    walk(c, seed=False)
+
+    walk(ti, seed=True)
+    return sorted(acc, key=lambda j: _repr_key(tokens[j]))
+
+
+def _prune_contained(groups: list[list[int]]) -> list[list[int]]:
+    """Containment pruning with the reference's in-place mutation order
+    (rdf_parse.py:331-339)."""
+    gs = [list(g) for g in groups]
+    for i in range(len(gs)):
+        for j, other in enumerate(gs):
+            if j == i:
+                continue
+            if gs[i] and all(x in other for x in gs[i]):
+                gs[i] = []
+                break
+    return [g for g in gs if g]
+
+
+def extract_svo(tokens: list[dict]) -> list[tuple[int, str, str, str]]:
+    """One parsed sentence → [(rdf_idx, subj, pred, obj)] with all three
+    parts non-empty (the empty-part filter, rdf_graph.py:344-348)."""
+    if not tokens:
+        return []
+    kids = _children_index(tokens)
+
+    noun_seeds = [j for j, t in enumerate(tokens)
+                  if (t["pos"] or "").startswith("N")]
+    verb_seeds = [j for j, t in enumerate(tokens)
+                  if (t["pos"] or "").startswith("V")]
+
+    nouns = [_pos_tree(tokens, kids, j, ("N", "J")) for j in noun_seeds]
+    verbs = [_pos_tree(tokens, kids, j, ("V", "R")) for j in verb_seeds]
+
+    nouns = _prune_contained(nouns)
+    verbs = _prune_contained(verbs)
+
+    rdfs: dict[int, dict[str, list[int]]] = {
+        0: {"subject": [], "relation": [], "object": []}}
+
+    def ensure(idx: int) -> None:
+        if idx not in rdfs:
+            rdfs[idx] = {"subject": [], "relation": [], "object": []}
+
+    by_i = lambda js: sorted(js, key=lambda j: tokens[j]["i"])
+
+    if len(nouns) == 1:
+        rdfs[0]["subject"] = nouns[0]          # pos_tree order kept
+    else:
+        idx = 0
+        for g in nouns:
+            if any("subj" in (tokens[j]["dep"] or "") for j in g):
+                if rdfs[idx]["subject"]:
+                    idx += 1
+                    ensure(idx)
+                rdfs[idx]["subject"] = by_i(g)
+            else:
+                if rdfs[idx]["object"]:
+                    idx += 1
+                    ensure(idx)
+                rdfs[idx]["object"] = by_i(g)
+
+    if len(verbs) == 1:
+        rdfs[0]["relation"] = verbs[0]         # pos_tree order kept
+    else:
+        idx = 0
+        full_trees = {}
+
+        def full_tree(j: int) -> list[int]:
+            if j not in full_trees:
+                full_trees[j] = set(_pos_tree(tokens, kids, j, ("",)))
+            return full_trees[j]
+
+        def in_children(parent: list[int], child: list[int]) -> bool:
+            # rdf_parse.py:277-293
+            for pj in parent:
+                tree = full_tree(pj)
+                if any(cj in tree for cj in child):
+                    return True
+            return False
+
+        for g in verbs:
+            if not (in_children(g, rdfs[idx]["subject"])
+                    or in_children(g, rdfs[idx]["object"])):
+                idx += 1
+                ensure(idx)
+            rdfs[idx]["relation"] = by_i(g)
+
+    out: list[tuple[int, str, str, str]] = []
+    for idx in sorted(rdfs):
+        parts = rdfs[idx]
+        if parts["subject"] and parts["relation"] and parts["object"]:
+            subj = " ".join(tokens[j]["text"] for j in parts["subject"])
+            pred = " ".join(tokens[j]["text"] for j in parts["relation"])
+            obj = " ".join(tokens[j]["text"] for j in parts["object"])
+            out.append((idx, subj, pred, obj))
+    return out
+
+
+def extract_triples_stage(sentences_df):
+    """sentences(url, sent_id, text, tokens) → raw_triples(url, sent_id,
+    rdf_idx, subj, pred, obj)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"url": [], "sent_id": [], "rdf_idx": [],
+                    "subj": [], "pred": [], "obj": []}
+            for url, sid, toks in zip(pdf["url"], pdf["sent_id"],
+                                      pdf["tokens"]):
+                tl = [dict(t) for t in toks]
+                for idx, s, p, o in extract_svo(tl):
+                    rows["url"].append(url)
+                    rows["sent_id"].append(int(sid))
+                    rows["rdf_idx"].append(idx)
+                    rows["subj"].append(s)
+                    rows["pred"].append(p)
+                    rows["obj"].append(o)
+            yield pd.DataFrame(rows)
+
+    return (sentences_df.select("url", "sent_id", "tokens")
+            .mapInPandas(run, schema=TRIPLES_SCHEMA))
