@@ -1,0 +1,109 @@
+"""Graph analytics over the materialized KG.
+
+Reference behaviors:
+* degree centrality — nx.degree_centrality top-n
+  (get_kg_query_params.py:16-25): degree / (V-1);
+* eigenvector centrality — nx.eigenvector_centrality with tolerance
+  escalation ×10 on convergence failure (calculate_network_change.py:22-31);
+  rebuilt as power iteration over the edge DataFrame (join + groupBy per
+  step, localCheckpoint to cut lineage);
+* centrality delta — (after-before)/(before+1) per node over a full
+  outer join (calculate_network_change.py:17-54);
+* key-triple scoring — score(edge) = gain(head)+gain(tail), top-k
+  (calculate_network_change.py:81-133).
+
+The graph is treated as undirected and unlabeled, exactly like the
+reference building nx.Graph from the first two edge columns
+(get_kg_query_params.py:28-33, predict_kg.py:205-212).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _sym(edges: DataFrame, src: str = "head_id",
+         dst: str = "tail_id") -> DataFrame:
+    """Undirected view: both directions, self-loop-free, distinct
+    neighbor pairs (nx.Graph semantics: parallel edges collapse)."""
+    a = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    b = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    return a.union(b).filter(F.col("u") != F.col("v")).distinct()
+
+
+def degree_centrality(edges: DataFrame, src: str = "head_id",
+                      dst: str = "tail_id") -> DataFrame:
+    """(node, degree, centrality_micro): degree/(V-1) scaled to integer
+    micro-units for cross-engine comparison."""
+    sym = _sym(edges, src, dst)
+    n_nodes = sym.select("u").distinct().count()
+    deg = sym.groupBy(F.col("u").alias("node")) \
+        .agg(F.count("*").alias("degree"))
+    return deg.withColumn(
+        "centrality_micro",
+        F.floor(F.col("degree") * 1_000_000 / F.lit(max(n_nodes - 1, 1)))
+        .cast("long"))
+
+
+def eigenvector_centrality(edges: DataFrame, max_iter: int = 30,
+                           tol: float = 1e-6,
+                           src: str = "head_id",
+                           dst: str = "tail_id") -> DataFrame:
+    """Power iteration; mirrors the reference's tolerance-escalation loop
+    (calculate_network_change.py:22-31) by relaxing tol ×10 if the
+    iteration fails to converge within max_iter."""
+    sym = _sym(edges, src, dst).localCheckpoint()
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("score", F.lit(0.0))
+
+    x = nodes.withColumn("score", F.lit(1.0 / n ** 0.5))
+    current_tol = tol
+    for attempt in range(3):  # tolerance escalation ×10 per attempt
+        for _ in range(max_iter):
+            msgs = (sym.join(x, sym.v == x.node)
+                    .groupBy("u").agg(F.sum("score").alias("raw")))
+            nxt = (nodes.join(msgs, nodes.node == msgs.u, "left")
+                   .select("node", F.coalesce("raw", F.lit(0.0)).alias("raw")))
+            norm = nxt.agg(F.sqrt(F.sum(F.col("raw") ** 2))).collect()[0][0]
+            if not norm or norm == 0.0:
+                return x
+            nxt = nxt.select(
+                "node", (F.col("raw") / norm).alias("score")).localCheckpoint()
+            delta = (nxt.alias("n").join(x.alias("o"), "node")
+                     .agg(F.sum(F.abs(F.col("n.score") - F.col("o.score"))))
+                     .collect()[0][0])
+            x = nxt
+            if delta is not None and delta < n * current_tol:
+                return x
+        current_tol *= 10
+    return x
+
+
+def centrality_delta(before: DataFrame, after: DataFrame,
+                     key: str = "node", val: str = "score") -> DataFrame:
+    """(after-before)/(before+1) per node (generate_node_changes,
+    calculate_network_change.py:46-54); missing nodes count as 0."""
+    b = before.select(F.col(key), F.col(val).alias("_b"))
+    a = after.select(F.col(key), F.col(val).alias("_a"))
+    return (b.join(a, key, "outer")
+            .select(key,
+                    ((F.coalesce("_a", F.lit(0.0)) - F.coalesce("_b", F.lit(0.0)))
+                     / (F.coalesce("_b", F.lit(0.0)) + 1.0)).alias("gain")))
+
+
+def top_triples_by_gain(edges: DataFrame, gains: DataFrame,
+                        k: int = 25) -> DataFrame:
+    """score(edge) = gain(head) + gain(tail); top-k desc
+    (get_top_triples, calculate_network_change.py:81-133)."""
+    gh = gains.select(F.col("node").alias("head_id"),
+                      F.col("gain").alias("_gh"))
+    gt = gains.select(F.col("node").alias("tail_id"),
+                      F.col("gain").alias("_gt"))
+    return (edges.join(F.broadcast(gh), "head_id")
+            .join(F.broadcast(gt), "tail_id")
+            .withColumn("score", F.col("_gh") + F.col("_gt"))
+            .orderBy(F.desc("score"), F.asc("head_id"), F.asc("tail_id"))
+            .limit(k)
+            .select("head_id", "tail_id", "rel_id", "score"))

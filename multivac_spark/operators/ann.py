@@ -1,0 +1,99 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two paths:
+* ``brute_force_topk`` — exact cosine top-k; baseline and the
+  within-bucket kernel. Broadcast of the (small) query set against the
+  corpus: one pass, no shuffle beyond the final top-k.
+* ``lsh_topk`` — sign-bit (random-hyperplane) bucketing, probing the
+  query's bucket + multi-probe neighbors; at 100 TB the bucket join
+  replaces the full scan (scan cost drops by the bucket fan-out) at
+  bounded recall cost.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import cosine
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     q_id_col: str = "q_id") -> DataFrame:
+    """Exact top-k by cosine: broadcast the query side, rank per query.
+    Output (q_id, neighbor, rank, cos_sim_micro) — integer-scaled
+    similarity for cross-engine comparison."""
+    q = F.broadcast(queries.select(F.col(q_id_col).alias("q_id"),
+                                   F.col(vec_col).alias("qv")))
+    c = corpus.select(F.col(id_col).alias("neighbor"),
+                      F.col(vec_col).alias("cv"))
+    sim = cosine(F.col("qv").cast("array<double>"),
+                 F.col("cv").cast("array<double>"))
+    scored = (q.crossJoin(c)
+              .filter(F.col("q_id") != F.col("neighbor"))
+              .withColumn("cos_sim_micro",
+                          F.floor(sim * 1_000_000).cast("long")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim_micro"),
+                                           F.asc("neighbor"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "neighbor", "rank", "cos_sim_micro"))
+
+
+def _planes(n_planes: int, dim: int, seed: str = "multivac-ann") -> np.ndarray:
+    s = int.from_bytes(hashlib.sha256(seed.encode()).digest()[:4], "big")
+    return np.random.RandomState(s).standard_normal((n_planes, dim))
+
+
+def bucket_key(vec_col, planes: np.ndarray):
+    bits = []
+    for p in planes:
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(F.zip_with(vec_col, arr, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_planes: int = 6, dim: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id") -> DataFrame:
+    """Bucketed ANN: equal-sign-signature join then exact rank within
+    bucket. Multi-probe is modeled by also matching buckets at Hamming
+    distance 1 from the query signature (flip one bit)."""
+    planes = _planes(n_planes, dim)
+    cast = lambda c: F.col(c).cast("array<double>")
+
+    c = corpus.select(F.col(id_col).alias("neighbor"),
+                      F.col(vec_col).alias("cv"),
+                      bucket_key(cast(vec_col), planes).alias("bkey"))
+
+    qsig = queries.select(F.col(q_id_col).alias("q_id"),
+                          F.col(vec_col).alias("qv"),
+                          bucket_key(cast(vec_col), planes).alias("sig"))
+    # probe set: the bucket itself + all 1-bit flips
+    probes = F.array(
+        F.col("sig"),
+        *[F.concat(F.substring("sig", 1, i),
+                   F.when(F.substring("sig", i + 1, 1) == "1",
+                          F.lit("0")).otherwise(F.lit("1")),
+                   F.substring("sig", i + 2, n_planes - i - 1))
+          for i in range(n_planes)])
+    q = qsig.select("q_id", "qv", F.explode(probes).alias("bkey"))
+
+    sim = cosine(F.col("qv").cast("array<double>"),
+                 F.col("cv").cast("array<double>"))
+    scored = (q.join(c, "bkey")
+              .filter(F.col("q_id") != F.col("neighbor"))
+              .withColumn("cos_sim_micro",
+                          F.floor(sim * 1_000_000).cast("long"))
+              .dropDuplicates(["q_id", "neighbor"]))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim_micro"),
+                                           F.asc("neighbor"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "neighbor", "rank", "cos_sim_micro"))

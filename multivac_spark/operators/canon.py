@@ -1,0 +1,239 @@
+"""Entity linking + canonicalization (the CESI-analog).
+
+Reference behavior (src/rdf_graph/rdf_graph.py:86-111 ``cluster_entities``,
+src/rdf_graph/rdf_extract.py:144-246 ``Clusterer``): entity mentions →
+average GloVe embedding per mention → dense O(n²) cosine ``pdist`` →
+average-linkage agglomerative clustering cut at distance 0.2 →
+representative per cluster (' | '-join under a char limit, else first
+member) → substitute mentions by representative (``filter_tuples``,
+rdf_graph.py:172-203).
+
+The dense pdist is the reference's scalability wall (SURVEY.md §4.1).
+Spark-first replacement:
+
+1. mention avg-embedding via explode → broadcast-join embeddings →
+   per-dimension mean (all built-in, map-side combinable);
+2. random-hyperplane LSH blocking: banded sign-signatures over seeded
+   hyperplanes, candidate pairs from equal band keys only (no O(n²));
+3. exact cosine on candidates, keep dist ≤ threshold → similarity edges;
+4. connected components by iterative min-label propagation (small-star
+   style; components here are near-duplicate groups, diameter ~2, so
+   convergence takes ≤ a handful of rounds) — GraphFrames-free;
+5. representative aggregation + broadcast-join substitution.
+
+Documented divergence (SURVEY.md §2.6): single-linkage-over-threshold
+(transitive closure) vs the reference's average linkage; and "first
+member" = lexicographic min vs insertion order. The exact-clustering
+oracle test pins the difference (Jaccard ≥ 0.9 at test scale).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+EMBED_DIM = 50
+DEFAULT_THRESHOLD = 0.2  # cosine distance (rdf_graph.py:52)
+CHAR_LIMIT = 80          # rdf_graph.py:206
+
+
+# --------------------------------------------------------------------------
+# 1. mention average embeddings  (rdf_graph.load_embeddings, :275-293)
+# --------------------------------------------------------------------------
+
+def mention_embeddings(mentions: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """mentions(mention) ⋈ embeddings(token, vector) → (mention, vector).
+
+    Tokens missing from the embedding table are skipped; mentions with no
+    embedded token drop out entirely — exactly the reference semantics
+    (they later die in filter_tuples via the inner substitution join).
+    Shapes: embeddings is dictionary-sized → broadcast hash join, the
+    groupBy is a map-side-combinable per-dimension mean."""
+    toks = mentions.select(
+        "mention",
+        F.explode(F.split(F.col("mention"), " ")).alias("token"))
+    joined = toks.join(F.broadcast(embeddings), "token", "inner")
+    # per-dimension mean: posexplode to (mention, dim, val) then avg,
+    # then re-assemble ordered by dim — fully built-in, no UDF.
+    per_dim = joined.select(
+        "mention", F.posexplode("vector").alias("dim", "val"))
+    avg = per_dim.groupBy("mention", "dim").agg(F.avg("val").alias("v"))
+    return (avg.groupBy("mention")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("dim", "v"))).alias("dv"))
+            .select("mention",
+                    F.transform("dv", lambda s: s["v"].cast("float"))
+                    .alias("vector")))
+
+
+# --------------------------------------------------------------------------
+# 2-3. LSH blocking + exact cosine on candidates
+# --------------------------------------------------------------------------
+
+def _seeded_planes(n_planes: int, dim: int, seed: str = "multivac-lsh") -> np.ndarray:
+    s = int.from_bytes(hashlib.sha256(seed.encode()).digest()[:4], "big")
+    rng = np.random.RandomState(s)
+    return rng.standard_normal((n_planes, dim))
+
+
+def similarity_edges(vectors: DataFrame,
+                     threshold: float = DEFAULT_THRESHOLD,
+                     n_planes: int = 64,
+                     bands: int = 8,
+                     key: str = "mention") -> DataFrame:
+    """(key, vector) → (src, dst) pairs with cosine distance ≤ threshold.
+
+    Banded random-hyperplane signatures: ``n_planes`` sign bits split
+    into ``bands`` bands; a pair is a candidate iff it agrees on all
+    bits of at least one band. With 8 bands × 8 rows: near-duplicate
+    pairs (dist ≤ 0.1, per-bit agree p≈0.86) collide with
+    1-(1-p⁸)⁸ ≈ 0.93 — and transitive closure through connected
+    components lifts *cluster* recall well above pair recall; unrelated
+    mentions (dist ≈ 1, p≈0.5) share a band with prob ≈ 8·0.5⁸ ≈ 3%,
+    keeping the candidate set near-linear. The exact cosine filter then
+    removes false positives, so banding only costs recall, which the
+    clustering-oracle test pins.
+
+    Signatures are computed by one numpy matmul per Arrow batch
+    (vectorized pandas UDF) — 64 hyperplane dots per row as BLAS, not 64
+    expression-tree aggregates."""
+    import pandas as pd
+
+    planes = _seeded_planes(n_planes, EMBED_DIM)
+    rows_per_band = n_planes // bands
+
+    def signatures(batches):
+        for pdf in batches:
+            X = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf["vector"]])
+            if len(X) == 0:
+                yield pd.DataFrame({key: [], "uvec": [], "bkeys": []})
+                continue
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            bits = (Xn @ planes.T > 0).astype(np.uint8)  # (n, n_planes)
+            bkeys = []
+            for row in bits:
+                s = "".join("1" if b else "0" for b in row)
+                bkeys.append([f"{bi}:{s[bi * rows_per_band:(bi + 1) * rows_per_band]}"
+                              for bi in range(bands)])
+            yield pd.DataFrame({key: pdf[key],
+                                "uvec": [r.tolist() for r in Xn],
+                                "bkeys": bkeys})
+
+    sig = vectors.mapInPandas(
+        signatures,
+        schema=f"{key} string, uvec array<double>, bkeys array<string>")
+    sig = sig.select(key, "uvec", F.explode("bkeys").alias("bkey"))
+
+    a = sig.select(F.col(key).alias("src"), F.col("uvec").alias("va"), "bkey")
+    b = sig.select(F.col(key).alias("dst"), F.col("uvec").alias("vb"), "bkey")
+    cand = (a.join(b, "bkey")
+            .filter(F.col("src") < F.col("dst"))
+            .dropDuplicates(["src", "dst"]))
+
+    cos = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (cand.withColumn("dist", 1.0 - cos)
+            .filter(F.col("dist") <= threshold)
+            .select("src", "dst", "dist"))
+
+
+# --------------------------------------------------------------------------
+# 4. connected components (GraphFrames-free min-label propagation)
+# --------------------------------------------------------------------------
+
+def connected_components(vertices: DataFrame, edges: DataFrame,
+                         key: str = "mention",
+                         max_iter: int = 20) -> DataFrame:
+    """vertices(key), edges(src, dst) → (key, cluster_label).
+
+    Iterative min-label propagation over symmetrized edges with
+    localCheckpoint per round to cut lineage. Near-duplicate components
+    have tiny diameter, so rounds ≈ 2-3; max_iter is a safety bound.
+    At 1000-executor scale the same loop holds: each round is one
+    shuffle on the vertex key, and the edge set (near-dup pairs) is a
+    small fraction of the mention count. Inputs are localCheckpointed
+    once so iterations never recompute the (expensive) upstream LSH."""
+    sym = (edges.select("src", "dst")
+           .union(edges.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+           .localCheckpoint())
+    labels = (vertices.select(F.col(key), F.col(key).alias("label"))
+              .localCheckpoint())
+
+    for _ in range(max_iter):
+        nbr_min = (sym.join(labels, sym.dst == labels[key], "inner")
+                   .groupBy("src").agg(F.min("label").alias("nbr_label")))
+        new = (labels.join(nbr_min, labels[key] == nbr_min.src, "left")
+               .select(labels[key],
+                       F.least(F.col("label"),
+                               F.coalesce("nbr_label", "label"))
+                       .alias("label")))
+        new = new.localCheckpoint()
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), key)
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+# --------------------------------------------------------------------------
+# 5. representatives + substitution
+# --------------------------------------------------------------------------
+
+def cluster_representatives(labels: DataFrame,
+                            char_limit: int = CHAR_LIMIT) -> DataFrame:
+    """(mention, label) → (mention, rep).
+
+    Reference rule (rdf_graph.get_cluster_representatives, :205-217):
+    if the concatenated member string exceeds char_limit → first member,
+    else ' | '.join(members). Member order here is lexicographic
+    (documented deterministic divergence from dict insertion order)."""
+    grouped = (labels.groupBy("label")
+               .agg(F.sort_array(F.collect_list("mention")).alias("members")))
+    rep = F.when(
+        F.length(F.concat_ws("", "members")) > char_limit,
+        F.element_at("members", 1)
+    ).otherwise(F.concat_ws(" | ", "members"))
+    return (grouped.withColumn("rep", rep)
+            .select("label", F.explode("members").alias("mention"), "rep")
+            .select("mention", "label", "rep"))
+
+
+def canonicalize_triples(triples: DataFrame,
+                         mention_reps: DataFrame,
+                         relations: DataFrame) -> DataFrame:
+    """filter_tuples semantics (rdf_graph.py:172-203): subj/obj must be in
+    the cluster map, pred must be in the top-relation list — inner
+    broadcast joins (the dictionaries are top-50k/top-50 sized), then
+    distinct triples."""
+    subs = F.broadcast(mention_reps.select("mention", "rep"))
+    rels = F.broadcast(relations.select("pred"))
+    return (triples
+            .join(subs.withColumnRenamed("mention", "subj")
+                  .withColumnRenamed("rep", "subj_rep"), "subj")
+            .join(subs.withColumnRenamed("mention", "obj")
+                  .withColumnRenamed("rep", "obj_rep"), "obj")
+            .join(rels, "pred")
+            .select(F.col("subj_rep").alias("subj"), "pred",
+                    F.col("obj_rep").alias("obj"))
+            .dropDuplicates(["subj", "pred", "obj"]))
+
+
+def cluster_entities(mentions: DataFrame, embeddings: DataFrame,
+                     threshold: float = DEFAULT_THRESHOLD,
+                     char_limit: int = CHAR_LIMIT) -> DataFrame:
+    """End-to-end: mentions(mention) → (mention, label, rep).
+
+    The embedded-mention table is checkpointed once: both the LSH join
+    and every CC iteration read it without recomputing the embedding
+    aggregation."""
+    vecs = mention_embeddings(mentions, embeddings).localCheckpoint()
+    edges = similarity_edges(vecs, threshold=threshold)
+    labels = connected_components(vecs.select("mention"), edges)
+    return cluster_representatives(labels, char_limit=char_limit)

@@ -1,0 +1,146 @@
+"""Deduplication operators: exact, MinHash(+LSH bands), SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Designed for 100 TB corpora: every operator is shuffle-bounded by
+hash-partitioned groupBys / band-bucket joins (never an O(n²) cross
+join), and every expression is a built-in Column function so the hot
+path stays in whole-stage codegen. Hash functions are md5-based, chosen
+because the DuckDB oracle computes the identical digests — determinism
+is cross-engine, not just cross-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .textops import tokens
+
+_ODD_HEX = list("13579bdf")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per duplicate
+    group (hash, keeper=min id, dup count)."""
+    return (df.select(F.md5(F.col(text_col)).alias("content_hash"),
+                      F.col(id_col))
+            .groupBy("content_hash")
+            .agg(F.min(id_col).alias("keeper"),
+                 F.count("*").alias("n_dups"))
+            .filter(F.col("n_dups") > 1))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Token n-gram shingles of a text column."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]))
+    )
+
+
+def minhash_signature(col: Column, k: int = 8, n: int = 3) -> Column:
+    """k-permutation MinHash over n-gram shingles: hash_i(s) =
+    md5(i:s), signature = array of per-i minima. The md5 family is
+    reproduced verbatim by the DuckDB oracle."""
+    sh = shingles(col, n)
+    mins = [
+        F.array_min(F.transform(
+            sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+        for i in range(k)
+    ]
+    return F.array(*mins)
+
+
+def minhash_band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """Split a k=bands*rows signature into band keys (join-bucket ids)."""
+    return F.array(*[
+        F.concat_ws("|", F.slice(sig, b * rows + 1, rows))
+        for b in range(bands)
+    ])
+
+
+def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      bands: int = 4, rows: int = 2,
+                      n: int = 3) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing any band bucket.
+    Band-bucket equi-join (shuffle on band key) — never all-pairs."""
+    sig = minhash_signature(F.col(text_col), k=bands * rows, n=n)
+    banded = (df.select(F.col(id_col), sig.alias("sig"))
+              .select(id_col,
+                      F.posexplode(minhash_band_keys(F.col("sig"),
+                                                     bands, rows))
+                      .alias("band", "bkey")))
+    a = banded.select(F.col(id_col).alias("a"), "band", "bkey")
+    b = banded.select(F.col(id_col).alias("b"), "band", "bkey")
+    return (a.join(b, ["band", "bkey"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def simhash_bits(col: Column, n_bits: int = 16) -> Column:
+    """SimHash: bit b = sign of Σ_tokens (±1 by bit b of md5(token)).
+    Bit b of the digest is modeled as the parity of hex digit b —
+    identical arithmetic in the DuckDB oracle. Returns an n_bits-char
+    '0'/'1' string."""
+    toks = tokens(col)
+    bits = []
+    for b in range(n_bits):
+        contrib = F.aggregate(
+            toks, F.lit(0),
+            lambda acc, t, b=b: acc + F.when(
+                F.substring(F.md5(t), b + 1, 1).isin(_ODD_HEX),
+                F.lit(1)).otherwise(F.lit(-1)))
+        bits.append(F.when(contrib > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def ngram_jaccard(a: Column, b: Column, n: int = 3,
+                  scale: int = 10_000) -> Column:
+    """Jaccard similarity of n-gram shingle sets, scaled to an integer
+    (float-free for cross-engine hashing)."""
+    sa = F.array_distinct(shingles(a, n))
+    sb = F.array_distinct(shingles(b, n))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.when(union == 0, F.lit(0)).otherwise(
+        F.floor(inter * scale / union).cast("long"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        block_col: str | None = "label",
+                        threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs. With a blocking column the
+    join is an equi-join per block (the scale path — blocks from
+    LSH/IVF or an upstream label); without one it degrades to a
+    documented all-pairs for test-scale inputs only."""
+    left = df.select(F.col(id_col).alias("a"),
+                     F.col(vec_col).alias("va"),
+                     *( [F.col(block_col).alias("blk")] if block_col else []))
+    right = df.select(F.col(id_col).alias("b"),
+                      F.col(vec_col).alias("vb"),
+                      *( [F.col(block_col).alias("blk")] if block_col else []))
+    joined = (left.join(right, "blk") if block_col
+              else left.crossJoin(right))
+    sim = cosine(F.col("va").cast("array<double>"),
+                 F.col("vb").cast("array<double>"))
+    return (joined.filter(F.col("a") < F.col("b"))
+            .withColumn("cos_sim", sim)
+            .filter(F.col("cos_sim") >= threshold)
+            .select("a", "b",
+                    F.floor(F.col("cos_sim") * 1_000_000)
+                    .cast("long").alias("cos_sim_micro")))

@@ -1,0 +1,88 @@
+"""End-to-end KG-construction pipeline.
+
+The Spark analog of the reference's ``build_graph.py:10-38`` run:
+extract_raw_tuples → preprocess_raw_tuples → cluster_entities →
+output_to_openke (SURVEY.md §3.1), declared as one lazy DataFrame DAG so
+Catalyst sees the whole plan (filter pushdown through the UDF stages'
+column pruning, broadcast joins for every dictionary-sized side).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.clean import clean_text_stage
+from ..functions.html_text import extract_text_stage
+from ..functions.normalize import normalize_triples
+from ..functions.parse import parse_stage
+from ..functions.svo import extract_triples_stage
+from ..operators import canon, materialize
+from ..sources import vocab
+
+
+@dataclass
+class PipelineConfig:
+    top_n_ent: int | None = materialize.TOP_N_ENT
+    top_n_rel: int | None = materialize.TOP_N_REL
+    clust_dist_threshold: float = canon.DEFAULT_THRESHOLD
+    char_limit: int = canon.CHAR_LIMIT
+    lang_filter: str | None = "en"
+
+
+def default_lexicons() -> tuple[dict[str, str], dict[str, str]]:
+    lex = vocab.pos_lexicon()
+    lemmas = dict(vocab.verb_lemma_table())
+    for concept, variants in vocab.noun_variants().items():
+        for v in variants:
+            lemmas.setdefault(v, concept)
+    return lex, lemmas
+
+
+def run_pipeline(spark: SparkSession,
+                 documents: DataFrame,
+                 embeddings: DataFrame,
+                 cfg: PipelineConfig | None = None) -> dict[str, DataFrame]:
+    """documents(url, warc_ts, html, text, lang) + embeddings(token,
+    vector) → all intermediate and final tables, lazily."""
+    cfg = cfg or PipelineConfig()
+    lex, lemmas = default_lexicons()
+    lexset = frozenset(lex)
+
+    extracted = extract_text_stage(documents)
+    if cfg.lang_filter:
+        extracted = extracted.filter(F.col("lang") == cfg.lang_filter)
+    cleaned = clean_text_stage(extracted, lexset)
+    sentences = parse_stage(cleaned, lex, lemmas)
+    raw_triples = extract_triples_stage(sentences)
+    triples = normalize_triples(raw_triples, vocab.verb_lemma_table(), lex)
+
+    uniq_ents = materialize.top_entities(triples, cfg.top_n_ent)
+    uniq_rels = materialize.top_relations(triples, cfg.top_n_rel)
+
+    clusters = canon.cluster_entities(
+        uniq_ents.select("mention"), embeddings,
+        threshold=cfg.clust_dist_threshold, char_limit=cfg.char_limit)
+
+    final_triples = canon.canonicalize_triples(
+        triples.select("subj", "pred", "obj"), clusters, uniq_rels)
+
+    graph = materialize.build_graph_tables(final_triples)
+    constraints = materialize.type_constraints(graph["edges"])
+
+    return {
+        "extracted": extracted,
+        "cleaned": cleaned,
+        "sentences": sentences,
+        "raw_triples": raw_triples,
+        "triples": triples,
+        "unique_entities": uniq_ents,
+        "unique_relations": uniq_rels,
+        "entity_clusters": clusters,
+        "final_triples": final_triples,
+        "entities": graph["entities"],
+        "relations": graph["relations"],
+        "edges": graph["edges"],
+        "type_constraints": constraints,
+    }

@@ -1,0 +1,108 @@
+"""Canonicalization vs exact-clustering oracle (FIXTURES.md invariant #3)
++ materialization semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from multivac_spark.operators import canon, materialize
+from multivac_spark.sources import corpus, vocab
+
+from .oracle_ref import cluster_oracle
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return corpus.embeddings_df(spark)
+
+
+def _pair_set(assign: dict[str, object]) -> set[tuple[str, str]]:
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for m, c in assign.items():
+        groups[c].append(m)
+    pairs = set()
+    for members in groups.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs.add((ms[i], ms[j]))
+    return pairs
+
+
+def test_clusters_match_exact_oracle(spark, emb_df):
+    """LSH + connected components vs exact average-linkage agglomerative
+    clustering: pairwise-cluster Jaccard ≥ 0.9 on a real mention sample."""
+    concepts = vocab.effective_concepts()[:40]
+    mentions = []
+    for c in concepts:
+        mentions.extend(vocab.effective_noun_variants()[c])
+    mdf = spark.createDataFrame([(m,) for m in mentions], "mention string")
+
+    res = canon.cluster_entities(mdf, emb_df).collect()
+    mine = {r["mention"]: r["label"] for r in res}
+
+    vec_rows = canon.mention_embeddings(mdf, emb_df).collect()
+    names = [r["mention"] for r in vec_rows]
+    vectors = [list(r["vector"]) for r in vec_rows]
+    oracle = cluster_oracle(names, vectors, threshold=0.2)
+
+    mine_pairs = _pair_set(mine)
+    oracle_pairs = _pair_set(oracle)
+    union = mine_pairs | oracle_pairs
+    jacc = len(mine_pairs & oracle_pairs) / max(len(union), 1)
+    print(f"jaccard={jacc:.4f} mine={len(mine_pairs)} oracle={len(oracle_pairs)}")
+    assert jacc >= 0.9, jacc
+
+
+def test_variant_groups_cluster_together(spark, emb_df):
+    """Surface variants of the same concept must land in one cluster."""
+    variants = vocab.effective_noun_variants()["virus"]
+    mdf = spark.createDataFrame([(m,) for m in variants], "mention string")
+    res = canon.cluster_entities(mdf, emb_df).collect()
+    labels = {r["label"] for r in res}
+    assert len(labels) == 1, res
+
+
+def test_representative_rule(spark):
+    labels = spark.createDataFrame(
+        [("aa", "x"), ("bb", "x"), ("c" * 100, "y"), ("dd", "y")],
+        "mention string, label string")
+    # group x: short concat → ' | ' join; group y: >80 chars → first member
+    reps = {r["mention"]: r["rep"]
+            for r in canon.cluster_representatives(labels).collect()}
+    assert reps["aa"] == "aa | bb"
+    assert reps["bb"] == "aa | bb"
+    assert reps["dd"] == "c" * 100  # lexicographic min ('c...' < 'dd')
+
+
+def test_connected_components_chain(spark):
+    v = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("e",)],
+                              "mention string")
+    e = spark.createDataFrame([("a", "b"), ("b", "c"), ("d", "e")],
+                              "src string, dst string")
+    labels = {r["mention"]: r["label"]
+              for r in canon.connected_components(v, e).collect()}
+    assert labels["a"] == labels["b"] == labels["c"] == "a"
+    assert labels["d"] == labels["e"] == "d"
+
+
+def test_top_n_and_ids(spark):
+    t = spark.createDataFrame(
+        [("a", "r1", "b"), ("a", "r1", "c"), ("a", "r2", "b"),
+         ("b", "r1", "a"), ("c", "r3", "d")],
+        "subj string, pred string, obj string")
+    ents = materialize.top_entities(t, 3).collect()
+    assert [r["mention"] for r in ents] == ["a", "b", "c"]
+    rels = materialize.top_relations(t, 2).collect()
+    assert [r["pred"] for r in rels] == ["r1", "r2"]
+
+    tables = materialize.build_graph_tables(t)
+    ids = {r["entity"]: r["entity_id"]
+           for r in tables["entities"].collect()}
+    assert ids == {"a": 0, "b": 1, "c": 2, "d": 3}
+    edges = set(tuple(r) for r in tables["edges"].collect())
+    assert (0, 1, 0) in edges  # a r1 b
+
+    tc = {r["rel_id"]: (list(r["head_ids"]), list(r["tail_ids"]))
+          for r in materialize.type_constraints(tables["edges"]).collect()}
+    assert tc[0] == ([0, 1], [0, 1, 2])  # r1: heads {a,b}, tails {b,c,a}
