@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries":
+{name: sec}, "sf", plus throughput extras (docs/sec, triples/sec,
+sentences/sec) for the KG pipeline}.
+
+The KG pipeline benchmark runs over the deterministic synthetic corpus
+scaled to match the sf (sf0.1 → 10,000 Common-Crawl-style pages); the
+operator benchmarks run over the driver's parquet tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from multivac_spark.session import get_spark
+    from multivac_spark.sources import corpus
+
+    spark = get_spark(app_name="multivac-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=str(max(int(cpus), 8)))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    t_all = time.time()
+
+    # ---- KG pipeline over the synthetic corpus --------------------------
+    # stages built explicitly (run_pipeline's clustering step is eager;
+    # explicit sequencing keeps each phase's timing honest)
+    from multivac_spark.functions.clean import clean_text_stage
+    from multivac_spark.functions.html_text import extract_text_stage
+    from multivac_spark.functions.normalize import normalize_triples
+    from multivac_spark.functions.parse import parse_stage
+    from multivac_spark.functions.svo import extract_triples_stage
+    from multivac_spark.operators import canon, materialize
+    from multivac_spark.plans.pipeline import default_lexicons
+    from multivac_spark.sources import vocab
+
+    lex, lemmas = default_lexicons()
+    n_docs = corpus.n_docs_for_sf(sf)
+    t0 = time.time()
+    docs = corpus.documents_df(spark, n_docs)
+    emb = corpus.embeddings_df(spark)
+    sentences = parse_stage(
+        clean_text_stage(extract_text_stage(docs).filter("lang = 'en'"),
+                         frozenset(lex)),
+        lex, lemmas).localCheckpoint()
+    n_sent = sentences.count()
+    timings["kg_extract_parse"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    triples = normalize_triples(
+        extract_triples_stage(sentences), vocab.verb_lemma_table(),
+        lex).localCheckpoint()
+    n_triples = triples.count()
+    timings["kg_svo_normalize"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    uniq_ents = materialize.top_entities(triples, 50_000).localCheckpoint()
+    uniq_rels = materialize.top_relations(triples, 50)
+    clusters = canon.cluster_entities(uniq_ents.select("mention"), emb)
+    final = canon.canonicalize_triples(
+        triples.select("subj", "pred", "obj"), clusters, uniq_rels)
+    graph = materialize.build_graph_tables(final)
+    n_edges = graph["edges"].count()
+    timings["kg_canonicalize_materialize"] = round(time.time() - t0, 3)
+
+    kg_wall = (timings["kg_extract_parse"] + timings["kg_svo_normalize"]
+               + timings["kg_canonicalize_materialize"])
+    extras["kg_docs"] = n_docs
+    extras["kg_sentences"] = n_sent
+    extras["kg_triples"] = n_triples
+    extras["kg_edges"] = n_edges
+    extras["docs_per_sec"] = round(n_docs / kg_wall, 2)
+    extras["sentences_per_sec"] = round(n_sent / kg_wall, 2)
+    extras["triples_per_sec"] = round(n_triples / kg_wall, 2)
+
+    # ---- operator benchmarks over the driver tables ----------------------
+    bench_queries = [
+        "scan_filter_project", "topn_entities", "broadcast_join_agg",
+        "window_topk", "distinct_dedup", "degree_centrality",
+        "token_count", "quality_score", "langid", "fingerprint",
+        "minhash_signature", "simhash", "ngram_jaccard",
+        "ann_topk", "embedding_near_dups", "exact_dedup",
+    ]
+    qmap = entrymod.queries()
+    for name in bench_queries:
+        t0 = time.time()
+        df = qmap[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_all, 3)
+    out = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

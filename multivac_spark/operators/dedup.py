@@ -48,12 +48,14 @@ def minhash_signature(col: Column, k: int = 8, n: int = 3) -> Column:
     md5(i:s), signature = array of per-i minima. The md5 family is
     reproduced verbatim by the DuckDB oracle."""
     sh = shingles(col, n)
-    mins = [
-        F.array_min(F.transform(
-            sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
-        for i in range(k)
-    ]
-    return F.array(*mins)
+
+    def hasher(i: int):
+        # closure factory — a default-arg lambda would change the
+        # PySpark higher-order-function arity (2-arg = (element, index))
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    return F.array(*[F.array_min(F.transform(sh, hasher(i)))
+                     for i in range(k)])
 
 
 def minhash_band_keys(sig: Column, bands: int, rows: int) -> Column:
@@ -89,13 +91,16 @@ def simhash_bits(col: Column, n_bits: int = 16) -> Column:
     identical arithmetic in the DuckDB oracle. Returns an n_bits-char
     '0'/'1' string."""
     toks = tokens(col)
+
+    def stepper(b: int):
+        # closure factory (see minhash_signature note on lambda arity)
+        return lambda acc, t: acc + F.when(
+            F.substring(F.md5(t), b + 1, 1).isin(_ODD_HEX),
+            F.lit(1)).otherwise(F.lit(-1))
+
     bits = []
     for b in range(n_bits):
-        contrib = F.aggregate(
-            toks, F.lit(0),
-            lambda acc, t, b=b: acc + F.when(
-                F.substring(F.md5(t), b + 1, 1).isin(_ODD_HEX),
-                F.lit(1)).otherwise(F.lit(-1)))
+        contrib = F.aggregate(toks, F.lit(0), stepper(b))
         bits.append(F.when(contrib > 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 

@@ -75,15 +75,20 @@ def test_representative_rule(spark):
     assert reps["dd"] == "c" * 100  # lexicographic min ('c...' < 'dd')
 
 
-def test_connected_components_chain(spark):
-    v = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("e",)],
-                              "mention string")
+@pytest.mark.parametrize("fastpath_limit", [5_000_000, 0])
+def test_connected_components_chain(spark, fastpath_limit):
+    """Both CC paths (driver union-find and distributed min-label
+    propagation) must produce identical labels."""
+    v = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("e",),
+                               ("z",)], "mention string")
     e = spark.createDataFrame([("a", "b"), ("b", "c"), ("d", "e")],
                               "src string, dst string")
     labels = {r["mention"]: r["label"]
-              for r in canon.connected_components(v, e).collect()}
+              for r in canon.connected_components(
+                  v, e, driver_fastpath_edges=fastpath_limit).collect()}
     assert labels["a"] == labels["b"] == labels["c"] == "a"
     assert labels["d"] == labels["e"] == "d"
+    assert labels["z"] == "z"  # isolated vertex keeps its own label
 
 
 def test_top_n_and_ids(spark):

@@ -1,0 +1,76 @@
+"""Multimodal plumbing + analytics operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from multivac_spark.functions import multimodal
+from multivac_spark.operators import analytics
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = multimodal.synth_media_df(spark, 30)
+    feats = multimodal.extract_features_stage(media, use_fake_decoder=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r["decode_error"] is None
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        assert r["n_bytes"] == 256
+    # determinism: same payload → same feature
+    again = {r["url"]: r["feature"]
+             for r in multimodal.extract_features_stage(media).collect()}
+    for r in rows:
+        assert again[r["url"]] == r["feature"]
+
+
+def test_multimodal_real_decoder_errors_isolated(spark):
+    media = multimodal.synth_media_df(spark, 9)
+    feats = multimodal.extract_features_stage(media, use_fake_decoder=False)
+    rows = feats.collect()
+    assert len(rows) == 9
+    assert all(r["decode_error"] is not None for r in rows)
+    assert all(r["feature"] is None for r in rows)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "head_id long, tail_id long")
+
+
+def test_degree_centrality_star(spark):
+    # star: 0 connected to 1..4
+    e = _edges(spark, [(0, i) for i in range(1, 5)])
+    res = {r["node"]: (r["degree"], r["centrality_micro"])
+           for r in analytics.degree_centrality(e).collect()}
+    assert res[0] == (4, 1_000_000)  # 4/(5-1)
+    assert res[1] == (1, 250_000)
+
+
+def test_eigenvector_centrality_two_components(spark):
+    # two components: triangle 0-1-2 and edge 3-4; the reference's
+    # tolerance-escalation path must still return scores
+    e = _edges(spark, [(0, 1), (1, 2), (0, 2), (3, 4)])
+    res = {r["node"]: r["score"]
+           for r in analytics.eigenvector_centrality(e, max_iter=25).collect()}
+    assert set(res) == {0, 1, 2, 3, 4}
+    # triangle nodes symmetric and dominant
+    assert abs(res[0] - res[1]) < 1e-3
+    assert res[0] > res[3]
+
+
+def test_centrality_delta_and_top_triples(spark):
+    before = spark.createDataFrame([(0, 1.0), (1, 2.0)],
+                                   "node long, score double")
+    after = spark.createDataFrame([(0, 2.0), (2, 3.0)],
+                                  "node long, score double")
+    gains = {r["node"]: r["gain"]
+             for r in analytics.centrality_delta(before, after).collect()}
+    assert gains[0] == pytest.approx(0.5)        # (2-1)/(1+1)
+    assert gains[1] == pytest.approx(-2.0 / 3.0)  # (0-2)/(2+1)
+    assert gains[2] == pytest.approx(3.0)        # (3-0)/(0+1)
+
+    edges = spark.createDataFrame([(0, 2, 0), (0, 1, 1)],
+                                  "head_id long, tail_id long, rel_id long")
+    gdf = spark.createDataFrame(list(gains.items()), "node long, gain double")
+    top = analytics.top_triples_by_gain(edges, gdf, k=1).collect()
+    assert (top[0]["head_id"], top[0]["tail_id"]) == (0, 2)  # 0.5+3.0
