@@ -579,6 +579,28 @@ FROM documents
 """
 
 
+def q_tfidf(spark, sf_dir):
+    """TF-IDF capability (the reference's declared-but-unwired top_tfidf
+    knob, rdf_graph.py:23,49 — implemented for real here)."""
+    from multivac_spark.operators.tfidf import tfidf
+    return tfidf(_t(spark, sf_dir, "documents"))
+
+
+SQL_TFIDF = """
+WITH term AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents),
+n AS (SELECT count(*) AS n_docs FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM term GROUP BY doc_id, token),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM term GROUP BY token)
+SELECT tf.doc_id, tf.token, tf.tf, df.df,
+       CAST(floor(tf.tf * ln(((SELECT n_docs FROM n) + 1.0) / (df.df + 1.0))
+            * 1000000) AS BIGINT) AS tfidf_micro
+FROM tf JOIN df ON tf.token = df.token
+"""
+
+
 # -- non-SQL-expressible (rows-only checks) ---------------------------------
 
 def q_kg_pipeline_synth(spark, sf_dir):
@@ -642,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "cleaner_regex": q_cleaner_regex,
+        "tfidf": q_tfidf,
         # rows-only (non-SQL-expressible)
         "kg_pipeline_synth": q_kg_pipeline_synth,
         "eigenvector_centrality": q_eigenvector_centrality,
@@ -677,4 +700,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": SQL_ANN,
         "embedding_near_dups": SQL_NEAR_DUPS,
         "cleaner_regex": SQL_CLEANER,
+        "tfidf": SQL_TFIDF,
     }

@@ -59,19 +59,22 @@ def main() -> None:
     t0 = time.time()
     docs = corpus.documents_df(spark, n_docs)
     emb = corpus.embeddings_df(spark)
+    from multivac_spark.functions.fused import fused_extract_stage
+    triples = normalize_triples(
+        fused_extract_stage(docs, lex, lemmas, "en"),
+        vocab.verb_lemma_table(), lex).localCheckpoint()
+    n_triples = triples.count()
+    timings["kg_fused_extract_normalize"] = round(time.time() - t0, 3)
+
+    # staged sentences product (token structs cross Arrow — kept as its
+    # own metric, not on the triples path)
+    t0 = time.time()
     sentences = parse_stage(
         clean_text_stage(extract_text_stage(docs).filter("lang = 'en'"),
                          frozenset(lex)),
-        lex, lemmas).localCheckpoint()
+        lex, lemmas)
     n_sent = sentences.count()
-    timings["kg_extract_parse"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    triples = normalize_triples(
-        extract_triples_stage(sentences), vocab.verb_lemma_table(),
-        lex).localCheckpoint()
-    n_triples = triples.count()
-    timings["kg_svo_normalize"] = round(time.time() - t0, 3)
+    timings["kg_sentences_product"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     uniq_ents = materialize.top_entities(triples, 50_000).localCheckpoint()
@@ -83,7 +86,7 @@ def main() -> None:
     n_edges = graph["edges"].count()
     timings["kg_canonicalize_materialize"] = round(time.time() - t0, 3)
 
-    kg_wall = (timings["kg_extract_parse"] + timings["kg_svo_normalize"]
+    kg_wall = (timings["kg_fused_extract_normalize"]
                + timings["kg_canonicalize_materialize"])
     extras["kg_docs"] = n_docs
     extras["kg_sentences"] = n_sent

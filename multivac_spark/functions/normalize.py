@@ -26,6 +26,43 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _PUNCT_TOKENS = list("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")
+_PUNCT_SET = set(_PUNCT_TOKENS)
+_DIGITS = set("0123456789")
+
+
+def normalize_triple_py(subj: str, pred: str, obj: str,
+                        verb_lemmas: dict[str, str],
+                        non_nouns: frozenset[str],
+                        max_pred_tokens: int = 4,
+                        min_char_len: int = 3):
+    """Pure-Python twin of ``normalize_triples`` (same semantics, same
+    filters) for the fused extraction stage — lets the whole doc→triple
+    path run as ONE Arrow pass with no JVM regex work. Parity with the
+    Column implementation is pytest-pinned (test_fused_parity)."""
+    s_toks = [t for t in subj.lower().split() if t and t not in _PUNCT_SET]
+    o_toks = [t for t in obj.lower().split() if t and t not in _PUNCT_SET]
+    p_toks = [verb_lemmas.get(t, t) for t in pred.lower().split()
+              if t and t not in _PUNCT_SET]
+    if not (1 <= len(p_toks) <= max_pred_tokens):
+        return None
+    if len(p_toks) > 1:
+        p_toks = [t for t in p_toks if t != "be"]
+    if not s_toks or not o_toks or not p_toks:
+        return None
+    if len(s_toks) == 1 and s_toks[0] in non_nouns:
+        return None
+    if len(o_toks) == 1 and o_toks[0] in non_nouns:
+        return None
+    s, p, o = " ".join(s_toks), " ".join(p_toks), " ".join(o_toks)
+    for part in (s, p, o):
+        if any(ch in _DIGITS for ch in part):
+            return None
+    if len(s) < min_char_len or len(o) < min_char_len:
+        return None
+    for part in (s, p, o):
+        if not ("a" <= part[0] <= "z"):  # ascii-start, exact rlike("^[a-z]")
+            return None
+    return s, p, o
 
 
 def _map_literal(d: dict[str, str]) -> Column:

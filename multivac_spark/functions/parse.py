@@ -225,6 +225,12 @@ def parse_stage(df, lexicon: dict[str, str], lemmas: dict[str, str],
                     texts.append(sent)
                     toks.append(tlist)
             yield pd.DataFrame(
-                {"url": urls, "sent_id": sids, "text": texts, "tokens": toks})
+                {"url": pd.Series(urls, dtype=object),
+                 "sent_id": pd.Series(sids, dtype="int64"),
+                 "text": pd.Series(texts, dtype=object),
+                 # dtype=object: without it pandas can coerce the nested
+                 # token lists into an ndarray, which Arrow's
+                 # NumPyConverter cannot serialize as list<struct>
+                 "tokens": pd.Series(toks, dtype=object)})
 
     return src.mapInPandas(run, schema=SENTENCES_SCHEMA)

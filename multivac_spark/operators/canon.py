@@ -300,13 +300,136 @@ def canonicalize_triples(triples: DataFrame,
 
 def cluster_entities(mentions: DataFrame, embeddings: DataFrame,
                      threshold: float = DEFAULT_THRESHOLD,
-                     char_limit: int = CHAR_LIMIT) -> DataFrame:
+                     char_limit: int = CHAR_LIMIT,
+                     driver_fastpath_mentions: int = 200_000) -> DataFrame:
     """End-to-end: mentions(mention) → (mention, label, rep).
 
-    The embedded-mention table is checkpointed once: both the LSH join
-    and every CC iteration read it without recomputing the embedding
-    aggregation."""
+    Two paths with identical algorithm (same planes, same banding, same
+    Hamming cut, same union-find semantics):
+
+    * **driver fast path** (default when the mention dictionary is
+      ≤ 200k entries — it always is: top_n_ent=50000 by reference
+      design, rdf_graph.py:25): collect mentions + the needed token
+      vectors, run the LSH → exact-cosine → union-find kernel as one
+      numpy pass, broadcast the label map back. This is the same
+      in-memory shape as the reference's own cluster_entities
+      (rdf_graph.py:86-111) minus the O(n²) pdist, and it collapses
+      ~10 tiny Spark jobs into one collect + one broadcast — the jobs
+      were pure scheduling overhead at any cluster size, because the
+      dictionary does not grow with the corpus.
+    * **distributed path** otherwise: checkpointed mention embeddings,
+      banded-LSH similarity join, distributed/driver CC.
+    """
+    n_mentions = mentions.count()
+    if n_mentions <= driver_fastpath_mentions:
+        return _cluster_entities_driver(mentions, embeddings, threshold,
+                                        char_limit)
     vecs = mention_embeddings(mentions, embeddings).localCheckpoint()
     edges = similarity_edges(vecs, threshold=threshold)
     labels = connected_components(vecs.select("mention"), edges)
     return cluster_representatives(labels, char_limit=char_limit)
+
+
+def _cluster_entities_driver(mentions: DataFrame, embeddings: DataFrame,
+                             threshold: float, char_limit: int,
+                             n_planes: int = 64, bands: int = 8,
+                             max_bucket: int = 1000) -> DataFrame:
+    """Driver-side kernel: identical semantics to the distributed path."""
+    import math
+    from collections import defaultdict
+
+    spark = mentions.sparkSession
+    names = [r[0] for r in mentions.select(mentions.columns[0]).collect()]
+    needed = set()
+    for m in names:
+        needed.update(m.split())
+    # bound the collected vectors to the tokens actually mentioned
+    emb_rows = (embeddings
+                .filter(F.col("token").isin(list(needed)))
+                .collect())
+    tok_vec = {r["token"]: np.asarray(r["vector"], dtype=np.float64)
+               for r in emb_rows}
+
+    kept: list[str] = []
+    vecs: list[np.ndarray] = []
+    for m in names:
+        tv = [tok_vec[t] for t in m.split() if t in tok_vec]
+        if not tv:
+            continue  # OOV mention: drops out, like rdf_graph.py:282-292
+        kept.append(m)
+        vecs.append(np.mean(tv, axis=0))
+    if not kept:
+        return spark.createDataFrame(
+            [], "mention string, label string, rep string")
+
+    X = np.vstack(vecs)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    planes = _seeded_planes(n_planes, X.shape[1])
+    bits = (Xn @ planes.T > 0)
+    rows_per_band = n_planes // bands
+
+    p_diff = math.acos(1.0 - threshold) / math.pi
+    cut = int(n_planes * p_diff
+              + 2.5 * math.sqrt(n_planes * p_diff * (1 - p_diff)))
+
+    # union-find
+    parent = list(range(len(kept)))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(i: int, j: int) -> None:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            # keep lexicographic-min root (matches distributed path)
+            if kept[ri] <= kept[rj]:
+                parent[rj] = ri
+            else:
+                parent[ri] = rj
+
+    # band buckets via uint64 views: one vectorized pass per band
+    pow2 = (1 << np.arange(rows_per_band - 1, -1, -1)).astype(np.uint64)
+    buckets: dict[tuple, list[int]] = defaultdict(list)
+    for b in range(bands):
+        seg = bits[:, b * rows_per_band:(b + 1) * rows_per_band]
+        keys = seg.astype(np.uint64) @ pow2
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        start = 0
+        for e in range(1, len(sk) + 1):
+            if e == len(sk) or sk[e] != sk[start]:
+                if e - start > 1:
+                    buckets[(b, int(sk[start]))] = order[start:e].tolist()
+                start = e
+
+    # per bucket: ONE cosine matmul (≤ max_bucket² × dim flops), then
+    # union every pair within the distance threshold — the Hamming
+    # prefilter is unnecessary on the driver where the matmul is BLAS.
+    del cut
+    for members in buckets.values():
+        if len(members) > max_bucket:
+            continue
+        idx = np.array(members)
+        sub = Xn[idx]
+        sims = sub @ sub.T
+        ii, jj = np.nonzero(np.triu(sims >= 1.0 - threshold, k=1))
+        for a, c in zip(ii.tolist(), jj.tolist()):
+            union(int(idx[a]), int(idx[c]))
+
+    groups: dict[int, list[str]] = defaultdict(list)
+    for i, m in enumerate(kept):
+        groups[find(i)].append(m)
+
+    out_rows = []
+    for root, members in groups.items():
+        members = sorted(members)
+        label = members[0]
+        joined = "".join(members)
+        rep = members[0] if len(joined) > char_limit else " | ".join(members)
+        for m in members:
+            out_rows.append((m, label, rep))
+    return spark.createDataFrame(
+        out_rows, "mention string, label string, rep string")

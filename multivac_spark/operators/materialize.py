@@ -112,14 +112,20 @@ def write_openke_text(tables: dict[str, DataFrame], out_dir: str) -> None:
     rels = tables["relations"]
     edges = tables["edges"]
 
+    import os
+
     def dump(df: DataFrame, cols: list[str], path: str) -> None:
         body = df.select(
             F.concat_ws("\t", *[F.col(c).cast("string") for c in cols])
             .alias("line"))
         n = body.count()
-        header = df.sparkSession.createDataFrame([(str(n),)], "line string")
-        header.union(body.coalesce(1)).coalesce(1) \
-            .write.mode("overwrite").text(path)
+        # single ordered text file via toLocalIterator — a union of a
+        # header DataFrame does not guarantee row order on write
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "part-00000.txt"), "w") as f:
+            f.write(f"{n}\n")
+            for row in body.toLocalIterator():
+                f.write(row["line"] + "\n")
 
     dump(ents.orderBy("entity_id"), ["entity", "entity_id"],
          f"{out_dir}/entity2id")

@@ -14,10 +14,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.clean import clean_text_stage
+from ..functions.fused import fused_extract_stage
 from ..functions.html_text import extract_text_stage
 from ..functions.normalize import normalize_triples
 from ..functions.parse import parse_stage
-from ..functions.svo import extract_triples_stage
+from ..functions.svo import extract_triples_stage  # noqa: F401 (staged path)
 from ..operators import canon, materialize
 from ..sources import vocab
 
@@ -54,8 +55,12 @@ def run_pipeline(spark: SparkSession,
     if cfg.lang_filter:
         extracted = extracted.filter(F.col("lang") == cfg.lang_filter)
     cleaned = clean_text_stage(extracted, lexset)
+    # sentences is a *product* table (staged path); the triples path uses
+    # the fused doc→triples stage so token structs never cross Arrow
+    # (functions/fused.py) — parity of the two paths is pytest-pinned.
     sentences = parse_stage(cleaned, lex, lemmas)
-    raw_triples = extract_triples_stage(sentences)
+    raw_triples = fused_extract_stage(documents, lex, lemmas,
+                                      cfg.lang_filter)
     triples = normalize_triples(raw_triples, vocab.verb_lemma_table(), lex)
 
     uniq_ents = materialize.top_entities(triples, cfg.top_n_ent)

@@ -45,8 +45,12 @@ def run_materialized(spark: SparkSession,
 
     sentences = stage("sentences", build_sentences)
 
+    # triples come from the fused doc→triples stage (no Arrow round-trip
+    # of token structs); sentences above is the product/debug table
+    from ..functions.fused import fused_extract_stage
     triples = stage("triples", lambda: normalize_triples(
-        extract_triples_stage(sentences), vocab.verb_lemma_table(), lex))
+        fused_extract_stage(documents, lex, lemmas, cfg.lang_filter),
+        vocab.verb_lemma_table(), lex))
 
     uniq_ents = materialize.top_entities(triples, cfg.top_n_ent)
     uniq_rels = materialize.top_relations(triples, cfg.top_n_rel)

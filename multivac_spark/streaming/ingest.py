@@ -1,0 +1,57 @@
+"""Incremental (streaming) corpus ingest.
+
+The reference is strictly batch (SURVEY.md §2.10); its "resume" is
+file-existence checks. The rebuild's incremental path is Structured
+Streaming with ``Trigger.AvailableNow``: each invocation drains all
+new document files, runs the fused doc→triples extraction, appends to
+the triples table, and records progress in the stream checkpoint —
+giving exactly-once file-level ingest semantics on top of the batch
+pipeline's stage-level lineage (plans/lineage.py).
+
+At production scale the same topology runs continuously
+(``trigger(processingTime=...)``) over an Iceberg/cloud-files source;
+watermarks are unnecessary because extraction is stateless per
+document (no event-time aggregation in the reference's semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..functions.fused import fused_extract_stage
+from ..sources.corpus import DOCUMENTS_SCHEMA
+
+
+def ingest_available_now(spark: SparkSession,
+                         docs_dir: str,
+                         out_dir: str,
+                         checkpoint_dir: str,
+                         lexicon: dict[str, str],
+                         lemmas: dict[str, str],
+                         lang_filter: str | None = "en") -> int:
+    """Drain all unprocessed document parquet files from ``docs_dir``
+    into a raw-triples table at ``out_dir``. Returns rows appended in
+    this invocation (file-level exactly-once via the checkpoint)."""
+    def table_count() -> int:
+        try:
+            return spark.read.parquet(out_dir).count()
+        except Exception:
+            return 0
+
+    before = table_count()
+    stream = (spark.readStream
+              .schema(DOCUMENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 64)
+              .parquet(docs_dir))
+
+    triples = fused_extract_stage(stream, lexicon, lemmas, lang_filter)
+
+    query = (triples.writeStream
+             .format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", checkpoint_dir)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+    query.awaitTermination()
+    return table_count() - before
