@@ -78,6 +78,47 @@ def _seeded_planes(n_planes: int, dim: int, seed: str = "multivac-lsh") -> np.nd
     return rng.standard_normal((n_planes, dim))
 
 
+# --------------------------------------------------------------------------
+# average-linkage kernel (the reference's fastcluster.linkage('average') +
+# fcluster(t, 'distance') semantics, rdf_graph.py:93-98) — numpy
+# Lance-Williams; average linkage is monotone, so greedy merging that
+# stops when the minimal inter-cluster average distance exceeds t is
+# exactly the t-cut of the full tree.
+# --------------------------------------------------------------------------
+
+LINKAGE_CAP = 4000  # max block size for the exact O(m²·iters) kernel
+
+
+def average_linkage_labels(unit_vecs: np.ndarray,
+                           threshold: float) -> np.ndarray:
+    """→ integer cluster label per row (labels are root row indices)."""
+    m = unit_vecs.shape[0]
+    if m == 1:
+        return np.zeros(1, dtype=np.int64)
+    D = 1.0 - unit_vecs @ unit_vecs.T
+    np.fill_diagonal(D, np.inf)
+    sizes = np.ones(m)
+    root = np.arange(m)  # representative row index per member
+    for _ in range(m - 1):
+        flat = np.argmin(D)
+        i, j = divmod(int(flat), m)
+        if not np.isfinite(D[i, j]) or D[i, j] > threshold:
+            break
+        if j < i:
+            i, j = j, i
+        # Lance-Williams average update: d(i∪j, k) = (nᵢdᵢₖ + nⱼdⱼₖ)/(nᵢ+nⱼ)
+        new_row = (sizes[i] * D[i, :] + sizes[j] * D[j, :]) \
+            / (sizes[i] + sizes[j])
+        D[i, :] = new_row
+        D[:, i] = new_row
+        D[i, i] = np.inf
+        D[j, :] = np.inf
+        D[:, j] = np.inf
+        sizes[i] += sizes[j]
+        root[root == j] = i  # row i remains the merged representative
+    return root
+
+
 def similarity_edges(vectors: DataFrame,
                      threshold: float = DEFAULT_THRESHOLD,
                      n_planes: int = 64,
@@ -327,7 +368,42 @@ def cluster_entities(mentions: DataFrame, embeddings: DataFrame,
     vecs = mention_embeddings(mentions, embeddings).localCheckpoint()
     edges = similarity_edges(vecs, threshold=threshold)
     labels = connected_components(vecs.select("mention"), edges)
+    labels = refine_components(labels, vecs, threshold)
     return cluster_representatives(labels, char_limit=char_limit)
+
+
+def refine_components(labels: DataFrame, vecs: DataFrame,
+                      threshold: float) -> DataFrame:
+    """Distributed block refinement: each connected component is one
+    applyInPandas group running the average-linkage kernel — the same
+    semantics as the driver fast path, shuffled once on the component
+    label. Components are near-duplicate blocks (bounded); oversized
+    ones fall back to single-linkage (kept whole)."""
+    import pandas as pd
+
+    joined = labels.join(vecs, "mention")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) <= 1 or len(pdf) > LINKAGE_CAP:
+            return pdf[["mention", "label"]]
+        X = np.array([np.asarray(v, dtype=np.float64)
+                      for v in pdf["vector"]])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        roots = average_linkage_labels(Xn, threshold)
+        names = pdf["mention"].tolist()
+        groups: dict[int, list[int]] = {}
+        for pos, r in enumerate(roots):
+            groups.setdefault(int(r), []).append(pos)
+        out_m, out_l = [], []
+        for members in groups.values():
+            lab = min(names[p] for p in members)
+            for p in members:
+                out_m.append(names[p])
+                out_l.append(lab)
+        return pd.DataFrame({"mention": out_m, "label": out_l})
+
+    return joined.groupBy("label").applyInPandas(
+        kernel, schema="mention string, label string")
 
 
 def _cluster_entities_driver(mentions: DataFrame, embeddings: DataFrame,
@@ -419,14 +495,37 @@ def _cluster_entities_driver(mentions: DataFrame, embeddings: DataFrame,
         for a, c in zip(ii.tolist(), jj.tolist()):
             union(int(idx[a]), int(idx[c]))
 
-    groups: dict[int, list[str]] = defaultdict(list)
-    for i, m in enumerate(kept):
-        groups[find(i)].append(m)
+    blocks: dict[int, list[int]] = defaultdict(list)
+    for i in range(len(kept)):
+        blocks[find(i)].append(i)
+
+    # Within each threshold-connected block, run the reference's actual
+    # clustering — average linkage cut at the distance threshold
+    # (rdf_graph.py:93-98). Blocking bounds the O(m²) kernel; transitive
+    # single-linkage chains (the mega-cluster failure mode) are split
+    # back apart exactly as fcluster would.
+    final_groups: list[list[str]] = []
+    for members in blocks.values():
+        if len(members) == 1:
+            final_groups.append([kept[members[0]]])
+            continue
+        if len(members) > LINKAGE_CAP:
+            # documented fallback: oversized block stays one cluster
+            # (single-linkage semantics); unreachable for dictionary-
+            # sized mention sets in practice
+            final_groups.append([kept[i] for i in members])
+            continue
+        idx = np.array(members)
+        labels = average_linkage_labels(Xn[idx], threshold)
+        sub: dict[int, list[str]] = defaultdict(list)
+        for pos, lab in enumerate(labels):
+            sub[int(lab)].append(kept[idx[pos]])
+        final_groups.extend(sub.values())
 
     import pandas as pd
 
     cols: dict[str, list[str]] = {"mention": [], "label": [], "rep": []}
-    for root, members in groups.items():
+    for members in final_groups:
         members = sorted(members)
         label = members[0]
         joined = "".join(members)

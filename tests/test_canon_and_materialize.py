@@ -29,16 +29,11 @@ def _pair_set(assign: dict[str, object]) -> set[tuple[str, str]]:
     return pairs
 
 
-def test_clusters_match_exact_oracle(spark, emb_df):
-    """LSH + connected components vs exact average-linkage agglomerative
-    clustering: pairwise-cluster Jaccard ≥ 0.9 on a real mention sample."""
-    concepts = vocab.effective_concepts()[:40]
-    mentions = []
-    for c in concepts:
-        mentions.extend(vocab.effective_noun_variants()[c])
+def _jaccard_vs_oracle(spark, emb_df, mentions, fastpath=True):
     mdf = spark.createDataFrame([(m,) for m in mentions], "mention string")
-
-    res = canon.cluster_entities(mdf, emb_df).collect()
+    limit = 10**9 if fastpath else 0
+    res = canon.cluster_entities(mdf, emb_df,
+                                 driver_fastpath_mentions=limit).collect()
     mine = {r["mention"]: r["label"] for r in res}
 
     vec_rows = canon.mention_embeddings(mdf, emb_df).collect()
@@ -46,12 +41,61 @@ def test_clusters_match_exact_oracle(spark, emb_df):
     vectors = [list(r["vector"]) for r in vec_rows]
     oracle = cluster_oracle(names, vectors, threshold=0.2)
 
-    mine_pairs = _pair_set(mine)
+    mine_pairs = _pair_set({m: mine[m] for m in names})
     oracle_pairs = _pair_set(oracle)
     union = mine_pairs | oracle_pairs
-    jacc = len(mine_pairs & oracle_pairs) / max(len(union), 1)
-    print(f"jaccard={jacc:.4f} mine={len(mine_pairs)} oracle={len(oracle_pairs)}")
+    return (len(mine_pairs & oracle_pairs) / max(len(union), 1),
+            len(mine_pairs), len(oracle_pairs))
+
+
+def test_clusters_match_exact_oracle(spark, emb_df):
+    """LSH blocking + per-block average linkage vs exact average-linkage
+    agglomerative clustering: pairwise-cluster Jaccard ≥ 0.9."""
+    concepts = vocab.effective_concepts()[:40]
+    mentions = []
+    for c in concepts:
+        mentions.extend(vocab.effective_noun_variants()[c])
+    jacc, nm, no = _jaccard_vs_oracle(spark, emb_df, mentions)
+    print(f"jaccard={jacc:.4f} mine={nm} oracle={no}")
     assert jacc >= 0.9, jacc
+
+
+def test_multiword_clusters_match_exact_oracle(spark, emb_df):
+    """Multi-word mentions (averaged embeddings) are where single-linkage
+    chaining used to diverge catastrophically (Jaccard 0.02); the
+    per-block average-linkage kernel must track the oracle."""
+    import numpy as np
+    rng = np.random.RandomState(11)
+    concepts = vocab.effective_concepts()[:25]
+    adjs = vocab.effective_adjectives()[:15]
+    mentions = set()
+    for c in concepts:
+        variants = vocab.effective_noun_variants()[c]
+        mentions.add(variants[0])
+        for _ in range(4):
+            a = adjs[rng.randint(len(adjs))]
+            c2 = concepts[rng.randint(len(concepts))]
+            mentions.add(f"{a} {variants[rng.randint(len(variants))]}")
+            mentions.add(f"{c2} {variants[0]}")
+    mentions = sorted(mentions)[:250]
+    jacc, nm, no = _jaccard_vs_oracle(spark, emb_df, mentions)
+    print(f"multiword jaccard={jacc:.4f} mine={nm} oracle={no}")
+    assert jacc >= 0.9, (jacc, nm, no)
+
+
+def test_distributed_path_matches_driver_path(spark, emb_df):
+    """Both clustering paths must agree (same kernel, different plumbing)."""
+    concepts = vocab.effective_concepts()[:20]
+    mentions = []
+    for c in concepts:
+        mentions.extend(vocab.effective_noun_variants()[c])
+        mentions.append(f"viral {vocab.effective_noun_variants()[c][0]}")
+    mdf = spark.createDataFrame([(m,) for m in mentions], "mention string")
+    a = {(r["mention"], r["rep"]) for r in canon.cluster_entities(
+        mdf, emb_df, driver_fastpath_mentions=10**9).collect()}
+    b = {(r["mention"], r["rep"]) for r in canon.cluster_entities(
+        mdf, emb_df, driver_fastpath_mentions=0).collect()}
+    assert a == b
 
 
 def test_variant_groups_cluster_together(spark, emb_df):
