@@ -432,8 +432,9 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1
 
 def q_minhash_signature(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    sig = dedup.minhash_signature(F.col("text"), k=4, n=3)
-    return docs.select("doc_id", F.concat_ws("|", sig).alias("minhash_sig"))
+    sigs = dedup.minhash_signatures_agg(docs, k=4, n=3)
+    return sigs.select("doc_id",
+                       F.concat_ws("|", "sig").alias("minhash_sig"))
 
 
 def _minhash_sql(k: int = 4, n: int = 3) -> str:
@@ -467,16 +468,19 @@ def _simhash_sql(n_bits: int = 16) -> str:
 
 def q_ngram_jaccard(spark, sf_dir):
     """pairwise n-gram Jaccard between consecutive doc ids (linear pair
-    set; the quadratic variant is LSH-bounded in dedup.minhash_dup_pairs)."""
+    set; the quadratic variant is LSH-bounded in dedup.minhash_dup_pairs).
+    Shingle arrays are materialized BEFORE the join (the exchange stores
+    them), so intersect/union don't recompute the shingling 4x."""
     docs = _t(spark, sf_dir, "documents")
-    a = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("ta"))
+    sh = F.array_distinct(dedup.shingles(F.col("text"), 3))
+    a = docs.select(F.col("doc_id").alias("a"), sh.alias("sa"))
     b = docs.select((F.col("doc_id") - 1).alias("a"),
-                    F.col("text").alias("tb"),
-                    F.col("doc_id").alias("b"))
-    return (a.join(b, "a")
-            .select("a", "b",
-                    dedup.ngram_jaccard(F.col("ta"), F.col("tb"))
-                    .alias("jaccard_e4")))
+                    F.col("doc_id").alias("b"), sh.alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_union("sa", "sb"))
+    jac = F.when(union == 0, F.lit(0)).otherwise(
+        F.floor(inter * 10_000 / union)).cast("long")
+    return a.join(b, "a").select("a", "b", jac.alias("jaccard_e4"))
 
 
 def _jaccard_sql(n: int = 3) -> str:

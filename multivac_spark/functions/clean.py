@@ -122,6 +122,29 @@ def clean_document(doc: str, lexicon: frozenset[str]) -> str:
     return doc
 
 
+_ABS_RE_LATEX = re.compile(r"\$.+\$")
+_ABS_RE_VARIABLE = re.compile(r"\\\\\w")
+_ABS_RE_PRECEDING = re.compile(
+    r"^(conclusions|conclusion|methods|results|background|abstract"
+    r"|objective|discussion)+", flags=re.IGNORECASE)
+
+
+def preprocess_abstract(abstract: str) -> str:
+    """rdf_extract.preprocess_abstract semantics (rdf_extract.py:42-59):
+    strip line breaks, inline LaTeX, escaped variables → 'variable',
+    leading section headers per sentence. The spaCy sentencizer becomes
+    the engine's deterministic splitter."""
+    from .parse import split_sentences
+
+    abstract = RE_BREAK.sub(" ", abstract)
+    abstract = _ABS_RE_LATEX.sub("", abstract)
+    abstract = _ABS_RE_VARIABLE.sub("variable", abstract)
+    abstract = RE_SPACE.sub(" ", abstract)
+    sents = [_ABS_RE_PRECEDING.sub("", s.strip()).strip()
+             for s in split_sentences(abstract)]
+    return " ".join(sents).strip()
+
+
 def preprocess_document(doc: str) -> str:
     """rdf_extract.preprocess_full_document semantics (rdf_extract.py:62-82);
     smart-quote translation stands in for UnicodeDammit."""
