@@ -68,6 +68,38 @@ def mention_embeddings(mentions: DataFrame, embeddings: DataFrame) -> DataFrame:
                     .alias("vector")))
 
 
+def mention_embeddings_broadcast(mentions: DataFrame,
+                                 embeddings: DataFrame) -> DataFrame:
+    """Broadcast-dictionary variant (the north-star wording): the token→
+    vector dict rides into a vectorized pandas UDF; one narrow pass, no
+    shuffle at all. Preferred when the embedding vocabulary fits the
+    driver (GloVe-sized dictionaries); the relational variant above is
+    the fallback for unbounded vocabularies. Same output, pytest-pinned."""
+    import pandas as pd
+
+    spark = mentions.sparkSession
+    rows = embeddings.collect()
+    tok_vec = {r["token"]: np.asarray(r["vector"], dtype=np.float64)
+               for r in rows}
+    bc = spark.sparkContext.broadcast(tok_vec)
+
+    def run(batches):
+        d = bc.value
+        for pdf in batches:
+            out_m, out_v = [], []
+            for m in pdf["mention"]:
+                tv = [d[t] for t in m.split() if t in d]
+                if not tv:
+                    continue
+                out_m.append(m)
+                out_v.append([float(x) for x in np.mean(tv, axis=0)])
+            yield pd.DataFrame({"mention": pd.Series(out_m, dtype=object),
+                                "vector": pd.Series(out_v, dtype=object)})
+
+    return mentions.select("mention").mapInPandas(
+        run, schema="mention string, vector array<float>")
+
+
 # --------------------------------------------------------------------------
 # 2-3. LSH blocking + exact cosine on candidates
 # --------------------------------------------------------------------------

@@ -45,6 +45,30 @@ def ndcg_at_k(actual: DataFrame, predicted: DataFrame, k: int = 100,
     return float(dcg / idcg) if idcg else 0.0
 
 
+def reconstruction_eval(edges: DataFrame, fraction: float = 0.25,
+                        k: int = 100, seed: int = 42) -> dict[str, float]:
+    """Masked-graph reconstruction harness (predict_kg.py:201-335 shape,
+    minus the external KronEM/KronGen completion): mask a node fraction,
+    recompute degree + eigenvector centrality on the masked graph, score
+    the masked ranking against the full-graph ranking with NDCG@k.
+    Returns {"ndcg_degree": ..., "ndcg_eigenvector": ...}."""
+    from . import analytics
+
+    kept, _ = mask_nodes(edges, fraction, seed)
+    full_deg = analytics.degree_centrality(edges) \
+        .select("node", F.col("centrality_micro").cast("double")
+                .alias("score"))
+    mask_deg = analytics.degree_centrality(kept) \
+        .select("node", F.col("centrality_micro").cast("double")
+                .alias("score"))
+    full_eig = analytics.eigenvector_centrality(edges, max_iter=15)
+    mask_eig = analytics.eigenvector_centrality(kept, max_iter=15)
+    return {
+        "ndcg_degree": ndcg_at_k(full_deg, mask_deg, k),
+        "ndcg_eigenvector": ndcg_at_k(full_eig, mask_eig, k),
+    }
+
+
 def mask_nodes(edges: DataFrame, fraction: float = 0.25,
                seed: int = 42) -> tuple[DataFrame, DataFrame]:
     """Deterministically drop a fraction of nodes (and their edges) —

@@ -30,6 +30,9 @@ class PipelineConfig:
     clust_dist_threshold: float = canon.DEFAULT_THRESHOLD
     char_limit: int = canon.CHAR_LIMIT
     lang_filter: str | None = "en"
+    # optional coref resolution, off by default like the reference
+    # (coref_opt=False, rdf_graph.py:24)
+    coref: bool = False
 
 
 def default_lexicons() -> tuple[dict[str, str], dict[str, str]]:
@@ -55,12 +58,20 @@ def run_pipeline(spark: SparkSession,
     if cfg.lang_filter:
         extracted = extracted.filter(F.col("lang") == cfg.lang_filter)
     cleaned = clean_text_stage(extracted, lexset)
+    if cfg.coref:
+        from ..functions.coref import resolve_coref_stage
+        cleaned = resolve_coref_stage(cleaned, lex, lemmas)
+        # coref rewrites feed the staged path; the fused path below is
+        # only taken when coref is off (the default, as in the reference)
     # sentences is a *product* table (staged path); the triples path uses
     # the fused doc→triples stage so token structs never cross Arrow
     # (functions/fused.py) — parity of the two paths is pytest-pinned.
     sentences = parse_stage(cleaned, lex, lemmas)
-    raw_triples = fused_extract_stage(documents, lex, lemmas,
-                                      cfg.lang_filter)
+    if cfg.coref:
+        raw_triples = extract_triples_stage(sentences)
+    else:
+        raw_triples = fused_extract_stage(documents, lex, lemmas,
+                                          cfg.lang_filter)
     triples = normalize_triples(raw_triples, vocab.verb_lemma_table(), lex)
 
     uniq_ents = materialize.top_entities(triples, cfg.top_n_ent)
