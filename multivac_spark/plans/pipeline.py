@@ -33,6 +33,9 @@ class PipelineConfig:
     # optional coref resolution, off by default like the reference
     # (coref_opt=False, rdf_graph.py:24)
     coref: bool = False
+    # optional relation clustering, off by default like the reference
+    # (cluster_relations flag, rdf_extract.py:102-104,119-122)
+    cluster_relations: bool = False
 
 
 def default_lexicons() -> tuple[dict[str, str], dict[str, str]]:
@@ -81,8 +84,27 @@ def run_pipeline(spark: SparkSession,
         uniq_ents.select("mention"), embeddings,
         threshold=cfg.clust_dist_threshold, char_limit=cfg.char_limit)
 
+    if cfg.cluster_relations:
+        # same machinery over predicates (rdf_extract.py:119-122); the
+        # substitution maps each pred to its cluster representative
+        rel_clusters = canon.cluster_entities(
+            uniq_rels.select(F.col("pred").alias("mention")), embeddings,
+            threshold=cfg.clust_dist_threshold, char_limit=cfg.char_limit)
+        pred_map = F.broadcast(rel_clusters.select(
+            F.col("mention").alias("pred"), F.col("rep").alias("pred_rep")))
+        triples_for_canon = (triples.join(pred_map, "pred", "left")
+                             .withColumn("pred", F.coalesce("pred_rep",
+                                                            "pred"))
+                             .drop("pred_rep"))
+        uniq_rels_final = (triples_for_canon
+                           .groupBy("pred").agg(F.count("*").alias("cnt")))
+    else:
+        triples_for_canon = triples
+        uniq_rels_final = uniq_rels
+
     final_triples = canon.canonicalize_triples(
-        triples.select("subj", "pred", "obj"), clusters, uniq_rels)
+        triples_for_canon.select("subj", "pred", "obj"), clusters,
+        uniq_rels_final)
 
     graph = materialize.build_graph_tables(final_triples)
     constraints = materialize.type_constraints(graph["edges"])
