@@ -636,6 +636,13 @@ def q_ann_lsh(spark, sf_dir):
     return ann.lsh_topk(emb, queries, k=10, dim=64)
 
 
+def q_ann_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("q_id"), "embedding"))
+    return ann.ivf_topk(emb, queries_df, k=10, n_centroids=16, n_probe=4)
+
+
 def q_minhash_dup_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_dup_pairs(docs, bands=4, rows=2)
@@ -673,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline_synth": q_kg_pipeline_synth,
         "eigenvector_centrality": q_eigenvector_centrality,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "minhash_dup_pairs": q_minhash_dup_pairs,
     }
 

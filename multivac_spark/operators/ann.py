@@ -58,6 +58,90 @@ def bucket_key(vec_col, planes: np.ndarray):
     return F.concat(*bits)
 
 
+def _seeded_kmeans(X: np.ndarray, n_centroids: int, iters: int = 10,
+                   seed: str = "multivac-ivf") -> np.ndarray:
+    """Deterministic k-means on unit vectors (driver-side; the centroid
+    codebook is tiny and the training sample is bounded)."""
+    s = int.from_bytes(hashlib.sha256(seed.encode()).digest()[:4], "big")
+    rng = np.random.RandomState(s)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[c] = v / n
+    return C
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 3,
+             train_sample: int = 10_000,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id") -> DataFrame:
+    """IVF ANN: a deterministic k-means codebook partitions the corpus
+    into inverted lists; each query probes its ``n_probe`` nearest
+    centroids and ranks exactly within those lists. At 100 TB the
+    centroid assignment is a narrow map (broadcast codebook matmul) and
+    the probe join is an equi-join on the centroid id — scan cost drops
+    by ~n_centroids/n_probe at bounded recall cost."""
+    import pandas as pd
+
+    sample = [np.asarray(r[vec_col], dtype=np.float64)
+              for r in corpus.select(vec_col).limit(train_sample).collect()]
+    X = np.vstack(sample)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = _seeded_kmeans(Xn, n_centroids)
+    bc = corpus.sparkSession.sparkContext.broadcast(C)
+
+    def assign_stage(id_alias: str, n_lists: int):
+        def run(batches):
+            Cb = bc.value
+            for pdf in batches:
+                V = np.array([np.asarray(v, dtype=np.float64)
+                              for v in pdf[vec_col]])
+                if len(V) == 0:
+                    yield pd.DataFrame({id_alias: [], "vec": [],
+                                        "centroid": []})
+                    continue
+                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                sims = Vn @ Cb.T
+                tops = np.argsort(-sims, axis=1)[:, :n_lists]
+                ids, vecs, cents = [], [], []
+                for row_id, vec, trow in zip(pdf.iloc[:, 0], V, tops):
+                    for c in trow:
+                        ids.append(row_id)
+                        vecs.append(vec.tolist())
+                        cents.append(int(c))
+                yield pd.DataFrame({id_alias: ids,
+                                    "vec": pd.Series(vecs, dtype=object),
+                                    "centroid": cents})
+        return run
+
+    c_assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign_stage("neighbor", 1),
+        schema="neighbor long, vec array<double>, centroid int")
+    q_assigned = queries.select(q_id_col, vec_col).mapInPandas(
+        assign_stage("q_id", n_probe),
+        schema="q_id long, vec array<double>, centroid int")
+
+    sim = cosine(F.col("qv"), F.col("cv"))
+    scored = (q_assigned.withColumnRenamed("vec", "qv")
+              .join(c_assigned.withColumnRenamed("vec", "cv"), "centroid")
+              .filter(F.col("q_id") != F.col("neighbor"))
+              .withColumn("cos_sim_micro",
+                          F.floor(sim * 1_000_000).cast("long"))
+              .dropDuplicates(["q_id", "neighbor"]))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim_micro"),
+                                           F.asc("neighbor"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "neighbor", "rank", "cos_sim_micro"))
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_planes: int = 6, dim: int = 64,
              id_col: str = "vec_id", vec_col: str = "embedding",
