@@ -72,15 +72,16 @@ def test_svo_matches_oracle_on_noisy_parsed_sentences():
 
 
 def test_pipeline_triples_recall_vs_gold():
-    """End-to-end P/R ≥ 0.95: pipeline triples vs gold-derived triples
-    (gold = oracle SVO over the grammar's gold parses)."""
+    """End-to-end P/R ≥ 0.95 at sf0.01 scale (FIXTURES.md invariant #2):
+    pipeline triples vs gold-derived triples (gold = oracle SVO over the
+    grammar's gold parses), 1000 documents."""
     lex, lemmas = _lexicons()
     lexset = frozenset(lex)
     from multivac_spark.functions.html_text import extract_article_text
 
     gold_set = set()
     mine_set = set()
-    for i in range(120):
+    for i in range(1000):
         row, gold = corpus.gen_document(i, with_gold=True)
         for toks in gold:
             for idx, s, p, o in substitute_rdfs_oracle(toks):
