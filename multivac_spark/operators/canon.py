@@ -131,23 +131,46 @@ def average_linkage_labels(unit_vecs: np.ndarray,
     np.fill_diagonal(D, np.inf)
     sizes = np.ones(m)
     root = np.arange(m)  # representative row index per member
+    # row-min caches: global min via argmin over rowmin (O(m) per step,
+    # amortized row recomputes only when a cached argmin is invalidated)
+    rowmin = D.min(axis=1)
+    rowarg = D.argmin(axis=1)
     for _ in range(m - 1):
-        flat = np.argmin(D)
-        i, j = divmod(int(flat), m)
-        if not np.isfinite(D[i, j]) or D[i, j] > threshold:
+        i = int(np.argmin(rowmin))
+        d = rowmin[i]
+        if not np.isfinite(d) or d > threshold:
             break
+        j = int(rowarg[i])
         if j < i:
             i, j = j, i
         # Lance-Williams average update: d(i∪j, k) = (nᵢdᵢₖ + nⱼdⱼₖ)/(nᵢ+nⱼ)
         new_row = (sizes[i] * D[i, :] + sizes[j] * D[j, :]) \
             / (sizes[i] + sizes[j])
+        new_row[i] = np.inf
+        new_row[j] = np.inf
         D[i, :] = new_row
         D[:, i] = new_row
-        D[i, i] = np.inf
         D[j, :] = np.inf
         D[:, j] = np.inf
         sizes[i] += sizes[j]
         root[root == j] = i  # row i remains the merged representative
+
+        rowmin[j] = np.inf
+        rowarg[j] = j
+        # D[:,i] changed: cheap improve-only pass...
+        improved = new_row < rowmin
+        rowmin[improved] = new_row[improved]
+        rowarg[improved] = i
+        # ...and full recompute where a cached argmin became stale
+        stale = (~improved) & ((rowarg == i) | (rowarg == j))
+        stale[j] = False
+        if stale.any():
+            idx = np.nonzero(stale)[0]
+            sub = D[idx]
+            rowmin[idx] = sub.min(axis=1)
+            rowarg[idx] = sub.argmin(axis=1)
+        rowmin[i] = D[i].min()
+        rowarg[i] = int(D[i].argmin())
     return root
 
 
