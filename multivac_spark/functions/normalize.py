@@ -95,30 +95,36 @@ def normalize_triples(raw: DataFrame,
     non_nouns = sorted(k for k, v in pos_lexicon.items()
                        if not v.startswith("NN"))
 
-    def norm_pred(col: Column) -> Column:
+    def lemmatize_pred(col: Column) -> Column:
         toks = _tokens(col)
-        lemmed = F.transform(
-            toks, lambda t: F.coalesce(lemma_map[t], t))
-        # multi-token relations drop 'be' (rdf_graph.py:372-375)
-        return F.when(F.size(lemmed) > 1,
-                      F.array_remove(lemmed, "be")).otherwise(lemmed)
+        return F.transform(toks, lambda t: F.coalesce(lemma_map[t], t))
 
     def norm_ent(col: Column) -> Column:
         return _tokens(col)
 
     df = (raw
           .withColumn("_s", norm_ent(F.col("subj")))
-          .withColumn("_p", norm_pred(F.col("pred")))
-          .withColumn("_o", norm_ent(F.col("obj"))))
+          .withColumn("_p_lem", lemmatize_pred(F.col("pred")))
+          .withColumn("_o", norm_ent(F.col("obj")))
+          # relation ≤ max tokens BEFORE 'be'-removal (rdf_graph.py:369-375
+          # checks len(tokens) first, then strips 'be'): a 5-token
+          # predicate containing 'be' must be dropped, not kept.
+          .filter((F.size("_p_lem") >= 1)
+                  & (F.size("_p_lem") <= max_pred_tokens))
+          # multi-token relations drop 'be' (rdf_graph.py:372-375)
+          .withColumn("_p", F.when(F.size("_p_lem") > 1,
+                                   F.array_remove(F.col("_p_lem"), "be"))
+                             .otherwise(F.col("_p_lem")))
+          .drop("_p_lem"))
 
     # single-token entities must be nouns (rdf_graph.py:380-384)
     def single_tok_is_noun(arr: Column) -> Column:
         return (F.size(arr) != 1) | ~arr.getItem(0).isin(non_nouns)
 
     df = (df
-          # relation ≤ 4 tokens (rdf_graph.py:369-371); empty parts dropped
-          .filter((F.size("_p") >= 1) & (F.size("_p") <= max_pred_tokens))
-          .filter((F.size("_s") >= 1) & (F.size("_o") >= 1))
+          # empty parts dropped ('be'-removal can empty a multi-token pred)
+          .filter((F.size("_p") >= 1) & (F.size("_s") >= 1)
+                  & (F.size("_o") >= 1))
           .filter(single_tok_is_noun(F.col("_s")))
           .filter(single_tok_is_noun(F.col("_o")))
           .withColumn("subj", F.concat_ws(" ", "_s"))

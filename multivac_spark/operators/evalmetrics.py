@@ -13,36 +13,46 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 def ndcg_at_k(actual: DataFrame, predicted: DataFrame, k: int = 100,
               key: str = "node", val: str = "score") -> float:
-    """NDCG@k of predicted ranking vs actual ranking.
+    """Reference-exact NDCG (predict_kg.py:339-381):
 
-    Relevance = actual score rank-normalized to [0,1]; DCG computed over
-    the predicted ordering; IDCG over the ideal (actual) ordering.
-    Missing nodes contribute 0 relevance (outer-merge + fill,
-    predict_kg.py:350-360)."""
+    1. rank-normalize BOTH score vectors independently to [0,1]
+       (ascending rank / max rank, predict_kg.py:343-352);
+    2. outer-join on node, fill missing with 0 (:354-355);
+    3. take the top-k positions of the ACTUAL ordering (:361-368) —
+       both DCG and IDCG read those same positions, DCG with the
+       predicted relevances, IDCG with the actual ones;
+    4. gains are 2**rel - 1, discounts log2(pos + 1) (:370-377).
+
+    Ties are broken by key — DCG-invariant (equal gains commute within
+    and across the k boundary) where the reference's np.argsort
+    tie-order is merge-order-dependent."""
     n_a = actual.count()
-    if n_a == 0:
+    n_p = predicted.count()
+    if n_a == 0 or n_p == 0:
         return 0.0
     w_a = Window.orderBy(F.asc(val), F.asc(key))
-    rel = actual.select(
+    rel_a = actual.select(
         key, ((F.row_number().over(w_a) - 1) / F.lit(max(n_a - 1, 1)))
-        .alias("rel"))
+        .alias("rel_a"))
+    w_p = Window.orderBy(F.asc(val), F.asc(key))
+    rel_p = predicted.select(
+        key, ((F.row_number().over(w_p) - 1) / F.lit(max(n_p - 1, 1)))
+        .alias("rel_p"))
 
-    w_p = Window.orderBy(F.desc(val), F.asc(key))
-    pred_rank = predicted.select(
-        key, F.row_number().over(w_p).alias("rank")).filter(
-        F.col("rank") <= k)
-
-    dcg_df = (pred_rank.join(rel, key, "left")
-              .select((F.coalesce("rel", F.lit(0.0))
-                       / F.log2(F.col("rank") + 1)).alias("g")))
-    dcg = dcg_df.agg(F.sum("g")).collect()[0][0] or 0.0
-
-    w_i = Window.orderBy(F.desc("rel"), F.asc(key))
-    ideal = (rel.select("rel", F.row_number().over(w_i).alias("rank"))
-             .filter(F.col("rank") <= k)
-             .select((F.col("rel") / F.log2(F.col("rank") + 1)).alias("g")))
-    idcg = ideal.agg(F.sum("g")).collect()[0][0] or 0.0
-    return float(dcg / idcg) if idcg else 0.0
+    comp = (rel_a.join(rel_p, key, "outer")
+            .fillna(0.0, subset=["rel_a", "rel_p"]))
+    w_ord = Window.orderBy(F.desc("rel_a"), F.asc(key))
+    top = (comp.select("rel_a", "rel_p",
+                       F.row_number().over(w_ord).alias("pos"))
+           .filter(F.col("pos") <= k))
+    row = (top.select(
+        ((F.pow(F.lit(2.0), F.col("rel_p")) - 1)
+         / F.log2(F.col("pos") + 1)).alias("g"),
+        ((F.pow(F.lit(2.0), F.col("rel_a")) - 1)
+         / F.log2(F.col("pos") + 1)).alias("ig"))
+        .agg(F.sum("g").alias("dcg"), F.sum("ig").alias("idcg"))
+        .collect()[0])
+    return float(row["dcg"] / row["idcg"]) if row["idcg"] else 0.0
 
 
 def reconstruction_eval(edges: DataFrame, fraction: float = 0.25,

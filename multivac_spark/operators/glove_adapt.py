@@ -63,13 +63,22 @@ def domain_adapt(general: DataFrame, specific: DataFrame,
     shared = sorted(set(gen) & set(spec))  # vocab intersection (glove.py:74-78)
     if len(shared) < 2:
         return general
-    X = zscore(np.vstack([gen[t] for t in shared]))
+    X_shared = np.vstack([gen[t] for t in shared])
+    # z-score stats come from the SHARED vocab — the same space the CCA
+    # is fit in — and are reused verbatim when projecting the full
+    # general vocabulary, so shared tokens land exactly where the fit
+    # put them. (Divergence note: the reference averages x_scores and
+    # y_scores for shared tokens, glove.py:84-87; the rebuild projects
+    # everything through Wx only — a one-sided projection — because the
+    # averaged space is undefined for the non-shared vocabulary it must
+    # also serve.)
+    mu = X_shared.mean(0)
+    sd = X_shared.std(0)
+    sd[sd == 0] = 1.0
+    X = (X_shared - mu) / sd
     Y = zscore(np.vstack([spec[t] for t in shared]))
     Wx, _Wy = cca_fit(X, Y, n_components)
 
-    mu = np.vstack(list(gen.values())).mean(0)
-    sd = np.vstack(list(gen.values())).std(0)
-    sd[sd == 0] = 1.0
     bc = spark.sparkContext.broadcast((Wx, mu, sd))
 
     def run(batches):

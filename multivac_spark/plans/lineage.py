@@ -24,8 +24,9 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-MANIFEST_SCHEMA = ("run_id string, stage string, partition_id int, "
-                   "row_count long, complete boolean, wall_ms long")
+MANIFEST_SCHEMA = ("run_id string, stage string, attempt_id long, "
+                   "partition_id int, row_count long, complete boolean, "
+                   "wall_ms long")
 
 
 def _manifest_path(base_dir: str) -> str:
@@ -41,9 +42,16 @@ def partition_stats(df: DataFrame, key_col: str | None = None) -> DataFrame:
 
 def write_stage(spark: SparkSession, df: DataFrame, base_dir: str,
                 run_id: str, stage: str) -> DataFrame:
-    """Write stage output + lineage; returns the re-read output."""
+    """Write stage output + lineage; returns the re-read output.
+
+    Each invocation is stamped with a monotonically increasing
+    ``attempt_id`` so a crash-and-retry appends a *second, self-
+    consistent* set of manifest rows instead of corrupting the sum
+    check in ``stage_complete`` (which validates only the latest
+    attempt against its own marker)."""
     out = os.path.join(base_dir, stage)
     t0 = time.time()
+    attempt = time.time_ns()
     df.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
 
@@ -51,11 +59,12 @@ def write_stage(spark: SparkSession, df: DataFrame, base_dir: str,
     stats = (partition_stats(back)
              .select(F.lit(run_id).alias("run_id"),
                      F.lit(stage).alias("stage"),
+                     F.lit(attempt).alias("attempt_id"),
                      "partition_id", "row_count",
                      F.lit(False).alias("complete"),
                      F.lit(wall).alias("wall_ms")))
     marker = spark.createDataFrame(
-        [(run_id, stage, -1, back.count(), True, wall)],
+        [(run_id, stage, attempt, -1, back.count(), True, wall)],
         MANIFEST_SCHEMA)
     stats.unionByName(marker).write.mode("append") \
         .parquet(_manifest_path(base_dir))
@@ -64,22 +73,34 @@ def write_stage(spark: SparkSession, df: DataFrame, base_dir: str,
 
 def stage_complete(spark: SparkSession, base_dir: str,
                    run_id: str, stage: str) -> bool:
+    """A stage is complete iff the LATEST attempt committed its marker
+    and that attempt's own partition rows sum to the marker total, and
+    the output directory carries a finished write's ``_SUCCESS``.
+    Earlier (crashed) attempts' rows are ignored entirely, so a retry
+    after a mid-commit crash converges instead of recomputing forever;
+    a newest attempt that appended stats but died before its marker
+    forces a recompute (its overwrite may have clobbered the output)."""
     path = _manifest_path(base_dir)
     try:
         m = spark.read.parquet(path)
     except Exception:
         return False
-    marker = (m.filter((F.col("run_id") == run_id)
-                       & (F.col("stage") == stage)
-                       & F.col("complete")))
-    rows = marker.select("row_count").collect()
-    if not rows:
+    mine = m.filter((F.col("run_id") == run_id)
+                    & (F.col("stage") == stage))
+    latest = mine.agg(F.max("attempt_id")).collect()[0][0]
+    if latest is None:
         return False
-    total = rows[-1]["row_count"]
-    part_sum = (m.filter((F.col("run_id") == run_id)
-                         & (F.col("stage") == stage)
-                         & ~F.col("complete"))
+    marker = (mine.filter((F.col("attempt_id") == latest)
+                          & F.col("complete"))
+              .select("row_count").collect())
+    if not marker:
+        return False
+    total = marker[0]["row_count"]
+    part_sum = (mine.filter((F.col("attempt_id") == latest)
+                            & ~F.col("complete"))
                 .agg(F.sum("row_count")).collect()[0][0]) or 0
+    if not os.path.exists(os.path.join(base_dir, stage, "_SUCCESS")):
+        return False
     return int(part_sum) == int(total)
 
 

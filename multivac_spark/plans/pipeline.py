@@ -96,8 +96,12 @@ def run_pipeline(spark: SparkSession,
                              .withColumn("pred", F.coalesce("pred_rep",
                                                             "pred"))
                              .drop("pred_rep"))
-        uniq_rels_final = (triples_for_canon
-                           .groupBy("pred").agg(F.count("*").alias("cnt")))
+        # re-apply the top-N truncation on the clustered predicates: the
+        # reference still restricts to the top-relation list *after*
+        # clustering (rdf_extract.py:119-122 → rdf_graph top-N), so the
+        # coalesce above must not let unmapped preds bypass the cut.
+        uniq_rels_final = materialize.top_relations(triples_for_canon,
+                                                    cfg.top_n_rel)
     else:
         triples_for_canon = triples
         uniq_rels_final = uniq_rels

@@ -46,3 +46,32 @@ def test_fused_normalize_equals_column_normalize(spark):
     b = sorted(tuple(r) for r in python_path.collect())
     assert a == b
     assert len(a) > 50
+
+
+def test_pred_token_cap_applies_before_be_removal(spark):
+    """A 5-token predicate containing 'be' must be DROPPED (reference
+    rdf_graph.py:369-375 checks len first, then strips 'be'); a 4-token
+    'be' predicate survives with 'be' removed. Exercises the ordering
+    the synthetic grammar (preds ≤2 tokens) never hits."""
+    from multivac_spark.functions.normalize import (normalize_triple_py,
+                                                    normalize_triples)
+    from multivac_spark.sources import vocab
+
+    lemmas = vocab.verb_lemma_table()
+    raw = spark.createDataFrame(
+        [("u", 0, 0, "cat", "might be seen to chase fast", "dog"),   # 6 lem toks → drop
+         ("u", 0, 1, "cat", "might be seen to chase", "dog"),        # 5 → drop
+         ("u", 0, 2, "cat", "be seen to chase", "dog"),              # 4 → keep, 'be' out
+         ("u", 0, 3, "cat", "be", "dog")],                           # 1 → keep as-is
+        "url string, sent_id int, rdf_idx int, subj string, pred string, obj string")
+    out = {(r.rdf_idx, r.pred) for r in
+           normalize_triples(raw, lemmas, {}).collect()}
+    assert out == {(2, "seen to chase"), (3, "be")}
+    # python twin agrees row-for-row
+    for idx, pred in [(0, "might be seen to chase fast"),
+                      (1, "might be seen to chase"),
+                      (2, "be seen to chase"), (3, "be")]:
+        py = normalize_triple_py("cat", pred, "dog", lemmas, frozenset())
+        assert (py is not None) == (idx in (2, 3))
+        if py is not None:
+            assert py[1] == {2: "seen to chase", 3: "be"}[idx]

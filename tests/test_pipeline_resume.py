@@ -69,3 +69,46 @@ def test_no_duplicate_lineage_markers(spark, out_dir, first_run):
     dup = (m.filter("complete").groupBy("run_id", "stage")
            .count().filter("count > 1").count())
     assert dup == 0
+
+
+def test_crash_retry_converges(spark):
+    """Crash between parquet write and marker append, then retry: the
+    retry's full manifest set must validate against its OWN marker
+    (latest attempt), not the union of both attempts' rows — resume
+    must report complete and stop recomputing (VERDICT r1 'what's
+    wrong' — lineage self-defeat)."""
+    from multivac_spark.plans import lineage
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    with tempfile.TemporaryDirectory() as d:
+        # attempt 1: simulate crash AFTER partition stats were appended
+        # but BEFORE the marker row — write the stats slice by hand.
+        import time as _t
+        out = f"{d}/stg"
+        df.write.mode("overwrite").parquet(out)
+        back = spark.read.parquet(out)
+        stats = (lineage.partition_stats(back)
+                 .select(F.lit("r").alias("run_id"),
+                         F.lit("stg").alias("stage"),
+                         F.lit(_t.time_ns()).alias("attempt_id"),
+                         "partition_id", "row_count",
+                         F.lit(False).alias("complete"),
+                         F.lit(0).alias("wall_ms")))
+        stats.write.mode("append").parquet(f"{d}/_lineage")
+        # crashed attempt alone: NOT complete (no marker for newest)
+        assert not lineage.stage_complete(spark, d, "r", "stg")
+
+        # attempt 2: full retry through the real API
+        calls = []
+        lineage.run_or_resume(spark, d, "r", "stg",
+                              lambda: (calls.append(1), df)[1])
+        assert calls == [1]
+        # the manifest now holds both attempts' rows; completeness must
+        # hold (latest attempt validates against its own marker)...
+        assert lineage.stage_complete(spark, d, "r", "stg")
+        # ...so a third run resumes without recomputing
+        calls2 = []
+        got = lineage.run_or_resume(spark, d, "r", "stg",
+                                    lambda: (calls2.append(1), df)[1])
+        assert calls2 == []
+        assert got.count() == 100

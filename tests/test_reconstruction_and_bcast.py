@@ -18,6 +18,41 @@ def test_reconstruction_eval(spark):
     assert 0.0 < scores["ndcg_eigenvector"] <= 1.0
 
 
+def _ref_ndcg(actual, predicted, k):
+    """numpy/pandas twin of the reference ndcg (predict_kg.py:339-381),
+    transcribed semantics: rank-normalize both, outer-merge, 0-fill,
+    act-order top-k, 2**rel-1 gains."""
+    import numpy as np
+    import pandas as pd
+
+    act = pd.DataFrame(actual, columns=["idx", "value"]).sort_values("value")
+    act["value"] = np.arange(len(act)) / max(len(act) - 1, 1)
+    pre = pd.DataFrame(predicted, columns=["idx", "value"]).sort_values("value")
+    pre["value"] = np.arange(len(pre)) / max(len(pre) - 1, 1)
+    comp = act.merge(pre, on="idx", how="outer").fillna(0)
+    comp = comp.sort_values(["value_x", "idx"], ascending=[False, True])
+    ideal = comp["value_x"].values[:k]
+    results = comp["value_y"].values[:k]
+    disc = np.log2(np.arange(len(ideal)) + 2)
+    return np.sum((2 ** results - 1) / disc) / np.sum((2 ** ideal - 1) / disc)
+
+
+def test_ndcg_matches_reference_formula(spark):
+    import random
+
+    from multivac_spark.operators.evalmetrics import ndcg_at_k
+
+    rng = random.Random(7)
+    actual = [(i, rng.random()) for i in range(40)]
+    predicted = [(i, rng.random()) for i in range(5, 45)]  # partial overlap
+    a_df = spark.createDataFrame(actual, "node long, score double")
+    p_df = spark.createDataFrame(predicted, "node long, score double")
+    for k in (10, 25, 40):
+        got = ndcg_at_k(a_df, p_df, k)
+        want = _ref_ndcg(actual, predicted, k)
+        assert abs(got - want) < 1e-9, (k, got, want)
+
+
 def test_broadcast_dict_embeddings_match_relational(spark):
     emb = corpus.embeddings_df(spark)
     mentions = []
