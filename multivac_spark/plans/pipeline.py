@@ -9,7 +9,9 @@ column pruning, broadcast joins for every dictionary-sized side).
 
 from __future__ import annotations
 
+from collections.abc import Mapping
 from dataclasses import dataclass
+from typing import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -47,12 +49,40 @@ def default_lexicons() -> tuple[dict[str, str], dict[str, str]]:
     return lex, lemmas
 
 
+class LazyTables(Mapping):
+    """Mapping of table name → DataFrame where each value is built (and
+    memoized) on FIRST ACCESS. Constructing the mapping schedules zero
+    Spark jobs — the clustering stages (which are eager by design:
+    bounded dictionary collect + union-find, canon.py) only run when a
+    caller touches a clustering-dependent table. Job-count-listener
+    pinned in tests/test_query_mapping.py."""
+
+    def __init__(self, thunks: dict[str, Callable[[], DataFrame]]):
+        self._thunks = thunks
+        self._cache: dict[str, DataFrame] = {}
+
+    def __getitem__(self, key: str) -> DataFrame:
+        if key not in self._cache:
+            self._cache[key] = self._thunks[key]()
+        return self._cache[key]
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(self._thunks)
+
+    def __len__(self) -> int:
+        return len(self._thunks)
+
+
 def run_pipeline(spark: SparkSession,
                  documents: DataFrame,
                  embeddings: DataFrame,
-                 cfg: PipelineConfig | None = None) -> dict[str, DataFrame]:
+                 cfg: PipelineConfig | None = None) -> Mapping[str, DataFrame]:
     """documents(url, warc_ts, html, text, lang) + embeddings(token,
-    vector) → all intermediate and final tables, lazily."""
+    vector) → all intermediate and final tables, lazily: building the
+    mapping runs no job; extraction-side tables are plain lazy
+    DataFrames; canonicalization-side tables materialize on first
+    access (their clustering kernel is a deliberate bounded-dictionary
+    driver pass, canon.cluster_entities)."""
     cfg = cfg or PipelineConfig()
     lex, lemmas = default_lexicons()
     lexset = frozenset(lex)
@@ -80,11 +110,19 @@ def run_pipeline(spark: SparkSession,
     uniq_ents = materialize.top_entities(triples, cfg.top_n_ent)
     uniq_rels = materialize.top_relations(triples, cfg.top_n_rel)
 
-    clusters = canon.cluster_entities(
-        uniq_ents.select("mention"), embeddings,
-        threshold=cfg.clust_dist_threshold, char_limit=cfg.char_limit)
+    from functools import cache
 
-    if cfg.cluster_relations:
+    @cache
+    def clusters() -> DataFrame:
+        return canon.cluster_entities(
+            uniq_ents.select("mention"), embeddings,
+            threshold=cfg.clust_dist_threshold, char_limit=cfg.char_limit)
+
+    @cache
+    def canon_inputs() -> tuple[DataFrame, DataFrame]:
+        """(triples_for_canon, uniq_rels_final)."""
+        if not cfg.cluster_relations:
+            return triples, uniq_rels
         # same machinery over predicates (rdf_extract.py:119-122); the
         # substitution maps each pred to its cluster representative
         rel_clusters = canon.cluster_entities(
@@ -92,39 +130,39 @@ def run_pipeline(spark: SparkSession,
             threshold=cfg.clust_dist_threshold, char_limit=cfg.char_limit)
         pred_map = F.broadcast(rel_clusters.select(
             F.col("mention").alias("pred"), F.col("rep").alias("pred_rep")))
-        triples_for_canon = (triples.join(pred_map, "pred", "left")
-                             .withColumn("pred", F.coalesce("pred_rep",
-                                                            "pred"))
-                             .drop("pred_rep"))
+        mapped = (triples.join(pred_map, "pred", "left")
+                  .withColumn("pred", F.coalesce("pred_rep", "pred"))
+                  .drop("pred_rep"))
         # re-apply the top-N truncation on the clustered predicates: the
         # reference still restricts to the top-relation list *after*
         # clustering (rdf_extract.py:119-122 → rdf_graph top-N), so the
         # coalesce above must not let unmapped preds bypass the cut.
-        uniq_rels_final = materialize.top_relations(triples_for_canon,
-                                                    cfg.top_n_rel)
-    else:
-        triples_for_canon = triples
-        uniq_rels_final = uniq_rels
+        return mapped, materialize.top_relations(mapped, cfg.top_n_rel)
 
-    final_triples = canon.canonicalize_triples(
-        triples_for_canon.select("subj", "pred", "obj"), clusters,
-        uniq_rels_final)
+    @cache
+    def final_triples() -> DataFrame:
+        triples_for_canon, uniq_rels_final = canon_inputs()
+        return canon.canonicalize_triples(
+            triples_for_canon.select("subj", "pred", "obj"), clusters(),
+            uniq_rels_final)
 
-    graph = materialize.build_graph_tables(final_triples)
-    constraints = materialize.type_constraints(graph["edges"])
+    @cache
+    def graph() -> dict[str, DataFrame]:
+        return materialize.build_graph_tables(final_triples())
 
-    return {
-        "extracted": extracted,
-        "cleaned": cleaned,
-        "sentences": sentences,
-        "raw_triples": raw_triples,
-        "triples": triples,
-        "unique_entities": uniq_ents,
-        "unique_relations": uniq_rels,
+    return LazyTables({
+        "extracted": lambda: extracted,
+        "cleaned": lambda: cleaned,
+        "sentences": lambda: sentences,
+        "raw_triples": lambda: raw_triples,
+        "triples": lambda: triples,
+        "unique_entities": lambda: uniq_ents,
+        "unique_relations": lambda: uniq_rels,
         "entity_clusters": clusters,
         "final_triples": final_triples,
-        "entities": graph["entities"],
-        "relations": graph["relations"],
-        "edges": graph["edges"],
-        "type_constraints": constraints,
-    }
+        "entities": lambda: graph()["entities"],
+        "relations": lambda: graph()["relations"],
+        "edges": lambda: graph()["edges"],
+        "type_constraints": lambda: materialize.type_constraints(
+            graph()["edges"]),
+    })
