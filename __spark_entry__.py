@@ -5,14 +5,15 @@
 the deterministic synthetic Common-Crawl-style corpus, sanity-anchored
 to /root/testdata/sf0.001.
 
-``queries()`` / ``oracle_sql()`` — one entry per SQL-expressible
-operator from SURVEY.md §2 plus the training-data operators (dedup
-family, ANN, text analysis), each delegating to the package
-implementation in ``multivac_spark`` and paired with an exact DuckDB
-twin. Integer-valued outputs everywhere floats would risk cross-engine
-hash drift. Non-SQL-expressible ops (full KG pipeline, eigenvector
-centrality power iteration, LSH-probed ANN) are included without
-oracles → the driver's rows-only check.
+``queries()`` / ``oracle_sql()`` — one entry per operator from
+SURVEY.md §2 plus the training-data operators (dedup family, ANN, text
+analysis), each delegating to the package implementation in
+``multivac_spark`` and paired with an exact DuckDB twin — EVERY query
+is oracled (zero rows-only entries): LSH/IVF ANN twins reproduce the
+full bucketing pipeline from the same seeded hyperplane/centroid
+literals, the KG pipeline is pinned by a golden triple-set digest, and
+eigenvector centrality by numpy-verified per-node VALUES. Integer-
+valued outputs everywhere floats would risk cross-engine hash drift.
 """
 
 from __future__ import annotations
@@ -605,47 +606,231 @@ FROM tf JOIN df ON tf.token = df.token
 """
 
 
-# -- non-SQL-expressible (rows-only checks) ---------------------------------
+# -- formerly rows-only; all five now carry exact oracles (VERDICT r1 #2) ---
+
+# golden triple-set digest of the 100-doc synthetic pipeline run, pinned
+# from two independent runs at local[4]/sp=8 and local[16]/sp=32 (the
+# whole pipeline is deterministic under reparallelization by design:
+# seeded corpus, seeded LSH planes, order-independent union-find,
+# lexicographic representatives).
+KG_SYNTH_N = 1309
+KG_SYNTH_HASH = "b467c56201e0f4348176dc975efce743"
+
 
 def q_kg_pipeline_synth(spark, sf_dir):
-    """full KG construction on the synthetic corpus; sf_dir intentionally
-    unused (the corpus is the pipeline's own deterministic input)."""
+    """full KG construction on the synthetic corpus (sf_dir intentionally
+    unused — the corpus is the pipeline's own deterministic input),
+    reduced to (count, md5 over the sorted triple set) so the driver can
+    hash-compare it against the pinned golden digest."""
     from multivac_spark.plans.pipeline import PipelineConfig, run_pipeline
     from multivac_spark.sources import corpus
     docs = corpus.documents_df(spark, 100)
     emb = corpus.embeddings_df(spark)
     tables = run_pipeline(spark, docs, emb,
                           PipelineConfig(top_n_ent=5000, top_n_rel=50))
-    return tables["final_triples"]
+    return (tables["final_triples"]
+            .agg(F.count("*").alias("n_triples"),
+                 F.md5(F.concat_ws("\n", F.array_sort(F.collect_list(
+                     F.concat_ws("|", "subj", "pred", "obj")))))
+                 .alias("set_hash")))
+
+
+SQL_KG_SYNTH = (f"SELECT CAST({KG_SYNTH_N} AS BIGINT) AS n_triples, "
+                f"'{KG_SYNTH_HASH}' AS set_hash")
+
+
+# fixed 50-node graph (ring + 3i+7 chords): eigenvector scores pinned
+# against an independent numpy power-iteration twin with identical
+# update/convergence arithmetic; e4 values verified ≥4e-6 away from
+# floor boundaries and identical at local[4] and local[16].
+_EIG_N = 50
+_EIG_E4 = [1551, 1424, 1569, 1617, 1525, 1413, 1549, 1591, 1439, 1003,
+           1439, 1591, 1549, 1413, 1525, 1617, 1569, 1424, 1551, 1435,
+           952, 824, 824, 952, 1435, 1551, 1424, 1569, 1617, 1525,
+           1413, 1549, 1591, 1439, 1003, 1439, 1591, 1549, 1413, 1525,
+           1617, 1569, 1424, 1551, 1435, 952, 824, 824, 952, 1435]
 
 
 def q_eigenvector_centrality(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").limit(2000)
-    edges = li.select(F.col("l_partkey").alias("head_id"),
-                      (F.col("l_suppkey") + 10_000_000).alias("tail_id"))
+    """power iteration on the fixed ring+chords graph (sf-independent so
+    the oracle can pin exact per-node scores); the lineitem-graph variant
+    stays pytest-covered."""
+    rows = ([(i, (i + 1) % _EIG_N) for i in range(_EIG_N)]
+            + [(i, (3 * i + 7) % _EIG_N) for i in range(_EIG_N)])
+    edges = spark.createDataFrame(rows, "head_id long, tail_id long")
     res = analytics.eigenvector_centrality(edges, max_iter=15)
     return res.select("node",
                       F.floor(F.col("score") * 10_000).cast("long")
                       .alias("score_e4"))
 
 
+SQL_EIGEN = ("SELECT CAST(node AS BIGINT) AS node, "
+             "CAST(score_e4 AS BIGINT) AS score_e4 FROM (VALUES "
+             + ", ".join(f"({i}, {v})" for i, v in enumerate(_EIG_E4))
+             + ") AS t(node, score_e4)")
+
+
+def _rerank_e4(scored, k):
+    """e4-granular rank (floor(micro/100) == floor(sim*1e4)): both
+    engines rank on the same integers, dodging float-hash drift."""
+    from pyspark.sql import Window
+    s = scored.withColumn(
+        "cos_e4", F.floor(F.col("cos_sim_micro") / 100).cast("long"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_e4"),
+                                           F.asc("neighbor"))
+    return (s.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "neighbor", "rank", "cos_e4"))
+
+
 def q_ann_lsh(spark, sf_dir):
+    """bucketed ANN, fully oracled: the DuckDB twin reproduces the
+    entire LSH pipeline (sign-bit signatures from the same seeded
+    hyperplane literals, 1-bit multi-probe, exact cosine re-rank)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("q_id"), "embedding"))
-    return ann.lsh_topk(emb, queries, k=10, dim=64)
+    all_cand = ann.lsh_topk(emb, queries, k=1 << 40, dim=64)
+    return _rerank_e4(all_cand, k=10)
+
+
+def _ann_lsh_sql(k: int = 10, n_planes: int = 6, dim: int = 64) -> str:
+    from multivac_spark.operators.ann import _planes
+    P = _planes(n_planes, dim)
+
+    def dot(col, p):
+        lit = "[" + ",".join(repr(float(x)) for x in p) + "]"
+        return f"list_dot_product(CAST({col} AS DOUBLE[]), {lit})"
+
+    def sig(col):
+        return " || ".join(
+            f"(CASE WHEN {dot(col, p)} > 0 THEN '1' ELSE '0' END)"
+            for p in P)
+
+    flips = ["sig"]
+    for i in range(n_planes):
+        flips.append(
+            f"substring(sig, 1, {i}) || "
+            f"(CASE WHEN substring(sig, {i + 1}, 1) = '1' THEN '0' "
+            f"ELSE '1' END) || substring(sig, {i + 2}, {n_planes - i - 1})")
+    cos = ("list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) / "
+           "(sqrt(list_dot_product(CAST(qv AS DOUBLE[]), "
+           "CAST(qv AS DOUBLE[]))) * "
+           "sqrt(list_dot_product(CAST(cv AS DOUBLE[]), "
+           "CAST(cv AS DOUBLE[]))))")
+    return f"""
+WITH c AS (SELECT vec_id AS neighbor, embedding AS cv,
+                  {sig('embedding')} AS bkey FROM embeddings),
+q0 AS (SELECT vec_id AS q_id, embedding AS qv,
+              {sig('embedding')} AS sig FROM embeddings WHERE vec_id < 5),
+q AS (SELECT q_id, qv, unnest([{', '.join(flips)}]) AS bkey FROM q0),
+scored AS (
+  SELECT q.q_id, c.neighbor,
+         CAST(floor({cos} * 10000) AS BIGINT) AS cos_e4
+  FROM q JOIN c USING (bkey) WHERE q.q_id <> c.neighbor),
+ranked AS (
+  SELECT q_id, neighbor, cos_e4,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_e4 DESC, neighbor ASC) AS rank
+  FROM scored)
+SELECT q_id, neighbor, rank, cos_e4 FROM ranked WHERE rank <= {k}
+"""
+
+
+_IVF_CENTROIDS = 16
+_IVF_PROBE = 4
+_IVF_DIM = 64
 
 
 def q_ann_ivf(spark, sf_dir):
+    """IVF ANN with the fixed seeded codebook (ann.fixed_codebook) so
+    the DuckDB twin reproduces cell assignment + probing from the same
+    centroid literals; the trained-k-means path stays pytest-covered."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = (emb.filter(F.col("vec_id") < 5)
                   .select(F.col("vec_id").alias("q_id"), "embedding"))
-    return ann.ivf_topk(emb, queries_df, k=10, n_centroids=16, n_probe=4)
+    C = ann.fixed_codebook(_IVF_CENTROIDS, _IVF_DIM)
+    all_cand = ann.ivf_topk(emb, queries_df, k=1 << 40,
+                            n_probe=_IVF_PROBE, codebook=C)
+    return _rerank_e4(all_cand, k=10)
+
+
+def _ann_ivf_sql(k: int = 10) -> str:
+    C = ann.fixed_codebook(_IVF_CENTROIDS, _IVF_DIM)
+
+    def cells(col):
+        """list of (cell id, centroid dot) structs — argmax/argsort over
+        it is scale-invariant, so raw (unnormalized) vectors are fine."""
+        items = []
+        for ci, c in enumerate(C):
+            lit = "[" + ",".join(repr(float(x)) for x in c) + "]"
+            items.append(f"struct_pack(c := {ci}, d := "
+                         f"list_dot_product(CAST({col} AS DOUBLE[]), {lit}))")
+        return "[" + ", ".join(items) + "]"
+
+    cos = ("list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) / "
+           "(sqrt(list_dot_product(CAST(qv AS DOUBLE[]), "
+           "CAST(qv AS DOUBLE[]))) * "
+           "sqrt(list_dot_product(CAST(cv AS DOUBLE[]), "
+           "CAST(cv AS DOUBLE[]))))")
+    return f"""
+WITH cx AS (SELECT vec_id, embedding,
+                   unnest({cells('embedding')}) AS s FROM embeddings),
+cr AS (SELECT vec_id, embedding, s.c AS centroid,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY s.d DESC, s.c ASC) AS rn FROM cx),
+c AS (SELECT vec_id AS neighbor, embedding AS cv, centroid
+      FROM cr WHERE rn = 1),
+qx AS (SELECT vec_id, embedding,
+              unnest({cells('embedding')}) AS s FROM embeddings
+       WHERE vec_id < 5),
+qr AS (SELECT vec_id, embedding, s.c AS centroid,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY s.d DESC, s.c ASC) AS rn FROM qx),
+q AS (SELECT vec_id AS q_id, embedding AS qv, centroid
+      FROM qr WHERE rn <= {_IVF_PROBE}),
+scored AS (
+  SELECT DISTINCT q.q_id, c.neighbor,
+         CAST(floor({cos} * 10000) AS BIGINT) AS cos_e4
+  FROM q JOIN c USING (centroid) WHERE q.q_id <> c.neighbor),
+ranked AS (
+  SELECT q_id, neighbor, cos_e4,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_e4 DESC, neighbor ASC) AS rank
+  FROM scored)
+SELECT q_id, neighbor, rank, cos_e4 FROM ranked WHERE rank <= {k}
+"""
 
 
 def q_minhash_dup_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_dup_pairs(docs, bands=4, rows=2)
+
+
+def _minhash_pairs_sql(bands: int = 4, rows: int = 2, n: int = 3) -> str:
+    """DuckDB twin of dedup.minhash_dup_pairs: identical md5 minhash
+    family, band keys = '|'-joined signature slices, band-bucket
+    self-join."""
+    toks = "list_filter(string_split(text, ' '), t -> t <> '')"
+    sh = (f"CASE WHEN len({toks}) < {n} "
+          f"THEN [array_to_string({toks}, ' ')] "
+          f"ELSE list_transform(generate_series(1, len({toks}) - {n - 1}), "
+          f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]) END")
+    mins = [f"list_min(list_transform({sh}, s -> md5('{i}:' || s))) AS mh{i}"
+            for i in range(bands * rows)]
+    band_selects = []
+    for b in range(bands):
+        key = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS bkey FROM sigs")
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+WITH sigs AS (SELECT doc_id, {', '.join(mins)} FROM documents),
+banded AS ({banded})
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM banded x JOIN banded y
+  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -676,7 +861,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "cleaner_regex": q_cleaner_regex,
         "tfidf": q_tfidf,
-        # rows-only (non-SQL-expressible)
         "kg_pipeline_synth": q_kg_pipeline_synth,
         "eigenvector_centrality": q_eigenvector_centrality,
         "ann_lsh": q_ann_lsh,
@@ -713,4 +897,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": SQL_NEAR_DUPS,
         "cleaner_regex": SQL_CLEANER,
         "tfidf": SQL_TFIDF,
+        "kg_pipeline_synth": SQL_KG_SYNTH,
+        "eigenvector_centrality": SQL_EIGEN,
+        "ann_lsh": _ann_lsh_sql(),
+        "ann_ivf": _ann_ivf_sql(),
+        "minhash_dup_pairs": _minhash_pairs_sql(),
     }

@@ -48,34 +48,51 @@ def degree_centrality(edges: DataFrame, src: str = "head_id",
 def eigenvector_centrality(edges: DataFrame, max_iter: int = 30,
                            tol: float = 1e-6,
                            src: str = "head_id",
-                           dst: str = "tail_id") -> DataFrame:
+                           dst: str = "tail_id",
+                           checkpoint_every: int = 5) -> DataFrame:
     """Power iteration; mirrors the reference's tolerance-escalation loop
     (calculate_network_change.py:22-31) by relaxing tol ×10 if the
-    iteration fails to converge within max_iter."""
+    iteration fails to converge within max_iter.
+
+    ONE driver action per iteration (VERDICT r1 #7): the norm and the
+    convergence delta come from a single fused aggregate —
+    s2 = Σ raw², dot = Σ raw·prev — because prev is unit-norm, so
+    ‖x_new − x_prev‖₂ = √(2 − 2·dot/√s2). Convergence uses the L2
+    bound √n·‖Δ‖₂ < n·tol (nx checks L1 < n·tol; L1 ≤ √n·L2, so this
+    is the conservative side of the same criterion). Lineage is cut by
+    a localCheckpoint every ``checkpoint_every`` rounds instead of
+    every round — 1 job/iter + 1 every k, down from 3/iter."""
     sym = _sym(edges, src, dst).localCheckpoint()
-    nodes = sym.select(F.col("u").alias("node")).distinct()
+    nodes = sym.select(F.col("u").alias("node")).distinct().localCheckpoint()
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("score", F.lit(0.0))
 
     x = nodes.withColumn("score", F.lit(1.0 / n ** 0.5))
     current_tol = tol
+    it_total = 0
     for attempt in range(3):  # tolerance escalation ×10 per attempt
         for _ in range(max_iter):
             msgs = (sym.join(x, sym.v == x.node)
                     .groupBy("u").agg(F.sum("score").alias("raw")))
             nxt = (nodes.join(msgs, nodes.node == msgs.u, "left")
                    .select("node", F.coalesce("raw", F.lit(0.0)).alias("raw")))
-            norm = nxt.agg(F.sqrt(F.sum(F.col("raw") ** 2))).collect()[0][0]
-            if not norm or norm == 0.0:
+            row = (nxt.join(x.select("node",
+                                     F.col("score").alias("prev")), "node")
+                   .agg(F.sum(F.col("raw") ** 2).alias("s2"),
+                        F.sum(F.col("raw") * F.col("prev")).alias("dot"))
+                   .collect()[0])
+            s2 = row["s2"] or 0.0
+            if s2 == 0.0:
                 return x
-            nxt = nxt.select(
-                "node", (F.col("raw") / norm).alias("score")).localCheckpoint()
-            delta = (nxt.alias("n").join(x.alias("o"), "node")
-                     .agg(F.sum(F.abs(F.col("n.score") - F.col("o.score"))))
-                     .collect()[0][0])
-            x = nxt
-            if delta is not None and delta < n * current_tol:
+            norm = s2 ** 0.5
+            cos = min(1.0, max(-1.0, (row["dot"] or 0.0) / norm))
+            x = nxt.select("node", (F.col("raw") / norm).alias("score"))
+            it_total += 1
+            if it_total % checkpoint_every == 0:
+                x = x.localCheckpoint()
+            delta_l2 = max(0.0, 2.0 - 2.0 * cos) ** 0.5
+            if delta_l2 * n ** 0.5 < n * current_tol:
                 return x
         current_tol *= 10
     return x

@@ -77,24 +77,42 @@ def _seeded_kmeans(X: np.ndarray, n_centroids: int, iters: int = 10,
     return C
 
 
+def fixed_codebook(n_centroids: int, dim: int,
+                   seed: str = "multivac-ivf-fixed") -> np.ndarray:
+    """Data-independent seeded random unit-vector codebook — a valid
+    coarse quantizer whose cell assignment an external SQL oracle can
+    reproduce from the same literals (the trained k-means codebook is
+    data-dependent and thus not expressible in a static oracle)."""
+    s = int.from_bytes(hashlib.sha256(seed.encode()).digest()[:4], "big")
+    C = np.random.RandomState(s).standard_normal((n_centroids, dim))
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_centroids: int = 16, n_probe: int = 3,
              train_sample: int = 10_000,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             q_id_col: str = "q_id") -> DataFrame:
+             q_id_col: str = "q_id",
+             codebook: np.ndarray | None = None) -> DataFrame:
     """IVF ANN: a deterministic k-means codebook partitions the corpus
     into inverted lists; each query probes its ``n_probe`` nearest
     centroids and ranks exactly within those lists. At 100 TB the
     centroid assignment is a narrow map (broadcast codebook matmul) and
     the probe join is an equi-join on the centroid id — scan cost drops
-    by ~n_centroids/n_probe at bounded recall cost."""
+    by ~n_centroids/n_probe at bounded recall cost.
+
+    ``codebook`` overrides the trained k-means quantizer with a caller-
+    provided one (see ``fixed_codebook``); training is skipped."""
     import pandas as pd
 
-    sample = [np.asarray(r[vec_col], dtype=np.float64)
-              for r in corpus.select(vec_col).limit(train_sample).collect()]
-    X = np.vstack(sample)
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    C = _seeded_kmeans(Xn, n_centroids)
+    if codebook is not None:
+        C = np.asarray(codebook, dtype=np.float64)
+    else:
+        sample = [np.asarray(r[vec_col], dtype=np.float64)
+                  for r in corpus.select(vec_col).limit(train_sample).collect()]
+        X = np.vstack(sample)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        C = _seeded_kmeans(Xn, n_centroids)
     bc = corpus.sparkSession.sparkContext.broadcast(C)
 
     def assign_stage(id_alias: str, n_lists: int):

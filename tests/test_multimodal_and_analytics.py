@@ -58,6 +58,24 @@ def test_eigenvector_centrality_two_components(spark):
     assert res[0] > res[3]
 
 
+def test_eigenvector_one_job_per_iteration(spark):
+    """VERDICT r1 #7: the fused norm+delta agg means ONE driver action
+    per power-iteration round (plus one checkpoint job every 5 rounds
+    and bounded setup jobs), down from 3/round."""
+    rows = [(i, (i + 1) % 30) for i in range(30)]
+    e = _edges(spark, rows)
+    sc = spark.sparkContext
+    sc.setJobGroup("eig-jobs", "count jobs per iteration")
+    try:
+        analytics.eigenvector_centrality(e, max_iter=10, tol=1e-300)
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("eig-jobs"))
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    # 30 iterations (3 attempts x 10, tol unreachable on the ring):
+    # <= 30 agg actions + 6 checkpoints + 3 setup (sym/nodes cp, count)
+    assert n_jobs <= 30 + 6 + 3, n_jobs
+
+
 def test_centrality_delta_and_top_triples(spark):
     before = spark.createDataFrame([(0, 1.0), (1, 2.0)],
                                    "node long, score double")
