@@ -807,6 +807,106 @@ def q_minhash_dup_pairs(spark, sf_dir):
     return dedup.minhash_dup_pairs(docs, bands=4, rows=2)
 
 
+# LaTeX → dependency tuples (equationparsing.py:80-295 port): each doc
+# carries a deterministic doc_id-derived equation; the Spark side runs
+# the eqparse kernel distributed, the oracle replays the same pure-
+# Python kernel over the 6 residue templates at import time (kernel
+# correctness itself is reference-parity-pinned in tests/test_eqparse).
+_EQ_TEMPLATES = [
+    "a = b + c",
+    "x^2 + y = z",
+    "f(x) = x + 1",
+    r"\frac{a}{b} < c",
+    "2 x + 3 y > z",
+    r"\alpha = x^3 + 2 x",
+]
+_EQ_RELS = ("compare", "combine", "function", "transform")
+
+
+def _eq_template_counts() -> list[dict[str, int]]:
+    from multivac_spark.functions.eqparse import latex_parsing
+    out = []
+    for t in _EQ_TEMPLATES:
+        deps, _p, _m = latex_parsing(t)
+        out.append({r: sum(1 for d in deps if d[0] == r) for r in _EQ_RELS})
+    return out
+
+
+def q_equation_deps(spark, sf_dir):
+    from multivac_spark.functions import eqparse
+    docs = _t(spark, sf_dir, "documents")
+    lat = F.element_at(
+        F.array(*[F.lit(t) for t in _EQ_TEMPLATES]),
+        (F.pmod(F.col("doc_id"), 6) + 1).cast("int"))
+    eqs = docs.select(F.col("doc_id").cast("string").alias("url"),
+                      F.lit("eq0").alias("tag"), lat.alias("latex"))
+    deps = eqparse.equation_dependencies_stage(eqs)
+    aggs = [F.sum((F.col("rel") == r).cast("long")).alias(f"n_{r}")
+            for r in _EQ_RELS]
+    return (deps.groupBy("url").agg(*aggs)
+            .select(F.col("url").cast("long").alias("doc_id"),
+                    *[f"n_{r}" for r in _EQ_RELS]))
+
+
+def q_link_prediction(spark, sf_dir):
+    """relation-conditioned frequency imputation (linkpred.impute_slot):
+    the TransE-free analog of the reference predict() candidate ranking
+    (map_queries.py:90-137) over part→supplier triples labeled by
+    returnflag; the embedding-blended variant is pytest-covered."""
+    from multivac_spark.operators.linkpred import impute_slot
+    li = _t(spark, sf_dir, "lineitem")
+    triples = li.select(F.col("l_partkey").cast("string").alias("subj"),
+                        F.col("l_returnflag").alias("pred"),
+                        F.col("l_suppkey").cast("string").alias("obj"))
+    flag_id = (F.when(F.col("l_returnflag") == "A", 0)
+               .when(F.col("l_returnflag") == "N", 1)
+               .otherwise(2))
+    known = (li.filter(F.col("l_partkey") < 20)
+             .select((F.col("l_partkey") * 10 + flag_id).alias("query_id"),
+                     F.col("l_partkey").cast("string").alias("known"),
+                     F.col("l_returnflag").alias("pred"))
+             .distinct())
+    return impute_slot(triples, known, "known", "obj", num_top=10)
+
+
+SQL_LINKPRED = """
+WITH t AS (SELECT l_returnflag AS pred,
+                  CAST(l_suppkey AS VARCHAR) AS obj FROM lineitem),
+model AS (SELECT pred, obj AS cand, count(*) AS cnt
+          FROM t GROUP BY pred, obj),
+m2 AS (SELECT pred, cand,
+              CAST(floor(cnt * 1000000.0
+                   / max(cnt) OVER (PARTITION BY pred)) AS BIGINT)
+                  AS freq_micro,
+              row_number() OVER (PARTITION BY pred
+                                 ORDER BY cnt DESC, cand ASC) AS rank
+       FROM model),
+top AS (SELECT * FROM m2 WHERE rank <= 10),
+known AS (SELECT DISTINCT
+            l_partkey * 10 + (CASE l_returnflag WHEN 'A' THEN 0
+                              WHEN 'N' THEN 1 ELSE 2 END) AS query_id,
+            CAST(l_partkey AS VARCHAR) AS known,
+            l_returnflag AS pred
+          FROM lineitem WHERE l_partkey < 20)
+SELECT query_id, known, pred, cand, CAST(rank AS INT) AS rank,
+       CAST(CASE WHEN freq_micro < 100000 THEN 0 ELSE freq_micro END
+            AS BIGINT) AS score_micro
+FROM known JOIN top USING (pred)
+"""
+
+
+def _equation_deps_sql() -> str:
+    counts = _eq_template_counts()
+    cols = []
+    for r in _EQ_RELS:
+        case = " ".join(f"WHEN {i} THEN {c[r]}"
+                        for i, c in enumerate(counts))
+        cols.append(f"CAST(CASE doc_id % 6 {case} END AS BIGINT) AS n_{r}")
+    # docs whose template yields zero pairs would drop from the Spark
+    # groupBy; every template above yields >= 1 pair (asserted in tests)
+    return f"SELECT doc_id, {', '.join(cols)} FROM documents"
+
+
 def _minhash_pairs_sql(bands: int = 4, rows: int = 2, n: int = 3) -> str:
     """DuckDB twin of dedup.minhash_dup_pairs: identical md5 minhash
     family, band keys = '|'-joined signature slices, band-bucket
@@ -866,6 +966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "minhash_dup_pairs": q_minhash_dup_pairs,
+        "equation_deps": q_equation_deps,
+        "link_prediction": q_link_prediction,
     }
 
 
@@ -902,4 +1004,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "minhash_dup_pairs": _minhash_pairs_sql(),
+        "equation_deps": _equation_deps_sql(),
+        "link_prediction": SQL_LINKPRED,
     }

@@ -42,6 +42,24 @@ def main() -> None:
     extras: dict[str, float] = {}
     t_all = time.time()
 
+    # Python-worker warmup: the FIRST Arrow stage in a session pays the
+    # fork+import cost of all local[N] python workers (~10-15s at N=32),
+    # which would otherwise be misattributed to whichever stage runs
+    # first. Real clusters amortize this across the job lifetime. The
+    # warmup cost stays inside the bench total (t_all above).
+    import pandas as _pd
+
+    def _noop(batches):
+        for b in batches:
+            yield b
+
+    (spark.range(int(cpus) * 4).repartition(int(cpus))
+     .withColumnRenamed("id", "x")
+     .mapInPandas(_noop, schema="x long")
+     .groupBy((F.col("x") % 2).alias("k")).count()
+     .write.format("noop").mode("overwrite").save())
+    timings["warmup"] = round(time.time() - t_all, 3)
+
     # ---- KG pipeline over the synthetic corpus --------------------------
     # stages built explicitly (run_pipeline's clustering step is eager;
     # explicit sequencing keeps each phase's timing honest)
@@ -56,10 +74,37 @@ def main() -> None:
 
     lex, lemmas = default_lexicons()
     n_docs = corpus.n_docs_for_sf(sf)
+
+    # Materialize the synthetic corpus ONCE as parquet and read it back:
+    # the engine's input at scale is a storage table, not a generator —
+    # without this every stage re-pays document synthesis (~7s at sf0.1)
+    # and the per-stage numbers measure the generator, not the operator.
+    import tempfile
+    tmp = tempfile.mkdtemp(prefix="bench_docs_")
     t0 = time.time()
-    docs = corpus.documents_df(spark, n_docs)
+    corpus.documents_df(spark, n_docs).write.mode("overwrite") \
+        .parquet(f"{tmp}/documents")
+    docs = spark.read.parquet(f"{tmp}/documents")
     emb = corpus.embeddings_df(spark)
+    timings["corpus_materialize"] = round(time.time() - t0, 3)
+
+    # Closure warmup: the first run of each distinct Arrow-stage closure
+    # pays a one-time distribution/compile cost (~10-20s at local[32],
+    # measured; steady-state is ~5s). A 100 TB run pays it once per job,
+    # so the per-stage timings below measure steady state; the warmup
+    # cost itself stays in the bench total via the stage_warmup key.
     from multivac_spark.functions.fused import fused_extract_stage
+    t0 = time.time()
+    small = docs.limit(200).localCheckpoint()
+    normalize_triples(fused_extract_stage(small, lex, lemmas, "en"),
+                      vocab.verb_lemma_table(), lex) \
+        .write.format("noop").mode("overwrite").save()
+    parse_stage(clean_text_stage(
+        extract_text_stage(small).filter("lang = 'en'"), frozenset(lex)),
+        lex, lemmas).write.format("noop").mode("overwrite").save()
+    timings["stage_warmup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
     triples = normalize_triples(
         fused_extract_stage(docs, lex, lemmas, "en"),
         vocab.verb_lemma_table(), lex).localCheckpoint()
@@ -121,6 +166,8 @@ def main() -> None:
         **extras,
     }
     spark.stop()
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(out))
 
 

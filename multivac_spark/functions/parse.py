@@ -74,9 +74,11 @@ def tag(word: str, lexicon: dict[str, str]) -> str:
     return "NN"  # closed-world default: unknown content words are nouns
 
 
-def parse_tokens(words: list[str], lexicon: dict[str, str],
-                 lemmas: dict[str, str]) -> list[dict]:
-    """Deterministic dependency parse.
+def parse_tokens_columns(words: list[str], lexicon: dict[str, str],
+                         lemmas: dict[str, str]
+                         ) -> tuple[list, list, list, list, list, list]:
+    """Deterministic dependency parse → column-oriented output
+    ``(i, text, lemma, pos, head, dep)`` as six parallel lists.
 
     Rules (gold-exact for the corpus grammar):
       * contiguous DT/JJ/NN* runs chunk into NPs; head = last N*;
@@ -183,10 +185,18 @@ def parse_tokens(words: list[str], lexicon: dict[str, str],
         head[anchor] = -1
         dep[anchor] = "ROOT"
 
+    return list(range(1, n + 1)), list(words), lemma, pos, head, dep
+
+
+def parse_tokens(words: list[str], lexicon: dict[str, str],
+                 lemmas: dict[str, str]) -> list[dict]:
+    """Row-oriented view of ``parse_tokens_columns`` (the in-Python
+    consumers — SVO, coref, query mapping — walk token dicts)."""
+    ii, tt, lm, ps, hd, dp = parse_tokens_columns(words, lexicon, lemmas)
     return [
-        {"i": k2 + 1, "text": words[k2], "lemma": lemma[k2], "pos": pos[k2],
-         "head": head[k2], "dep": dep[k2]}
-        for k2 in range(n)
+        {"i": ii[k], "text": tt[k], "lemma": lm[k], "pos": ps[k],
+         "head": hd[k], "dep": dp[k]}
+        for k in range(len(ii))
     ]
 
 
@@ -201,36 +211,68 @@ def parse_document(text: str, lexicon: dict[str, str],
     return out
 
 
+_FLAT_TOKENS_SCHEMA = (
+    "url string, sent_id int, text string, "
+    "ti array<int>, tt array<string>, tl array<string>, "
+    "tp array<string>, th array<int>, td array<string>"
+)
+
+
 def parse_stage(df, lexicon: dict[str, str], lemmas: dict[str, str],
                 text_col: str = "clean_text"):
     """(url, …, clean_text) → sentences(url, sent_id, text, tokens).
 
     One doc → N sentence rows via mapInPandas (Arrow-batched; the
-    lexicons ride along in the closure — broadcast-sized, ~1k entries)."""
+    lexicons ride along in the closure — broadcast-sized, ~1k entries).
+
+    The token structs are NOT serialized as ``list<struct>`` through
+    Arrow — per-token Python dicts + nested-struct conversion dominated
+    the stage cost (30% of BENCH_r01). The Python side emits six flat
+    primitive arrays per sentence (cheap Arrow lists) and the nested
+    ``tokens array<struct<...>>`` of SENTENCES_SCHEMA is reassembled
+    JVM-side by ``arrays_zip`` — same output schema, ~none of the
+    serialization cost."""
+    from pyspark.sql import functions as F
 
     src = df.select("url", text_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            urls: list[str] = []
-            sids: list[int] = []
-            texts: list[str] = []
-            toks: list[list[dict]] = []
+            cols: dict[str, list] = {k: [] for k in
+                                     ("url", "sent_id", "text", "ti", "tt",
+                                      "tl", "tp", "th", "td")}
             for url, text in zip(pdf["url"], pdf[text_col]):
                 if text is None or (isinstance(text, float)):
                     continue
-                for sid, sent, tlist in parse_document(text, lexicon, lemmas):
-                    urls.append(url)
-                    sids.append(sid)
-                    texts.append(sent)
-                    toks.append(tlist)
+                for sid, sent in enumerate(split_sentences(text)):
+                    words = tokenize(sent)
+                    if not words:
+                        continue
+                    ii, tt, lm, ps, hd, dp = parse_tokens_columns(
+                        words, lexicon, lemmas)
+                    cols["url"].append(url)
+                    cols["sent_id"].append(sid)
+                    cols["text"].append(sent)
+                    cols["ti"].append(ii)
+                    cols["tt"].append(tt)
+                    cols["tl"].append(lm)
+                    cols["tp"].append(ps)
+                    cols["th"].append(hd)
+                    cols["td"].append(dp)
             yield pd.DataFrame(
-                {"url": pd.Series(urls, dtype=object),
-                 "sent_id": pd.Series(sids, dtype="int64"),
-                 "text": pd.Series(texts, dtype=object),
-                 # dtype=object: without it pandas can coerce the nested
-                 # token lists into an ndarray, which Arrow's
-                 # NumPyConverter cannot serialize as list<struct>
-                 "tokens": pd.Series(toks, dtype=object)})
+                {"url": pd.Series(cols["url"], dtype=object),
+                 "sent_id": pd.Series(cols["sent_id"], dtype="int64"),
+                 "text": pd.Series(cols["text"], dtype=object),
+                 # dtype=object on every list column: pandas can coerce
+                 # lists into an ndarray, which Arrow's NumPyConverter
+                 # cannot serialize as list<...>
+                 **{k: pd.Series(cols[k], dtype=object)
+                    for k in ("ti", "tt", "tl", "tp", "th", "td")}})
 
-    return src.mapInPandas(run, schema=SENTENCES_SCHEMA)
+    flat = src.mapInPandas(run, schema=_FLAT_TOKENS_SCHEMA)
+    return flat.select(
+        "url", "sent_id", "text",
+        F.arrays_zip(F.col("ti").alias("i"), F.col("tt").alias("text"),
+                     F.col("tl").alias("lemma"), F.col("tp").alias("pos"),
+                     F.col("th").alias("head"), F.col("td").alias("dep"))
+        .alias("tokens"))

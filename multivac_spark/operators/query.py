@@ -152,10 +152,19 @@ def match_parts(parts: DataFrame, embeddings: DataFrame,
 def answer_queries(query_parts: DataFrame,
                    final_triples: DataFrame,
                    embeddings: DataFrame,
-                   threshold: float = MATCH_THRESHOLD) -> DataFrame:
+                   threshold: float = MATCH_THRESHOLD,
+                   impute: bool = False) -> DataFrame:
     """Full get_answers analog: match subj/pred/obj parts to canonical
     entities/relations by embedding cosine, then answer from the triple
-    table: (head, rel) → tails and (rel, tail) → heads."""
+    table: (head, rel) → tails and (rel, tail) → heads.
+
+    With ``impute=True`` the answer set additionally carries the
+    link-prediction completions of the reference's ``predict`` path
+    (map_queries.py:90-137, TransE-free analog — operators/linkpred):
+    queries whose rel matched and exactly one of head/tail matched get
+    ``imputed_tail``/``imputed_head`` rows scored in [0, 1e6] (exact KG
+    answers carry score_micro = 1e6), zeroed below predict_triple's
+    0.1 threshold."""
     entity_vecs = mention_embeddings(
         final_triples.select(F.col("subj").alias("mention"))
         .union(final_triples.select(F.col("obj").alias("mention")))
@@ -200,5 +209,29 @@ def answer_queries(query_parts: DataFrame,
                    F.col("obj").alias("head"),
                    F.lit("head").alias("slot"))
            .select("query_id", "query", "head", "rel", "answer", "slot"))
-    return fwd.unionByName(bwd).dropDuplicates(
+    exact = fwd.unionByName(bwd).dropDuplicates(
         ["query_id", "head", "rel", "answer", "slot"])
+    if not impute:
+        return exact
+
+    from .linkpred import predict_completions
+
+    # queries with rel matched and exactly one anchor → predict() shape
+    cands = (q.filter(F.col("rel_match").isNotNull()
+                      & (F.col("head_ent").isNotNull()
+                         != F.col("tail_ent").isNotNull()))
+             .select("query_id", "query",
+                     F.col("head_ent").alias("head"),
+                     F.col("rel_match").alias("pred"),
+                     F.col("tail_ent").alias("tail")))
+    imputed = (predict_completions(final_triples, embeddings,
+                                   cands.select("query_id", "head",
+                                                "pred", "tail"))
+               .join(F.broadcast(cands.select("query_id", "query")
+                                 .distinct()), "query_id")
+               .select("query_id", "query", "head",
+                       F.col("pred").alias("rel"), "answer", "slot",
+                       "score_micro"))
+    return (exact.withColumn("score_micro", F.lit(1_000_000).cast("long"))
+            .unionByName(imputed)
+            .dropDuplicates(["query_id", "head", "rel", "answer", "slot"]))
