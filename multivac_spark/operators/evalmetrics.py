@@ -55,24 +55,74 @@ def ndcg_at_k(actual: DataFrame, predicted: DataFrame, k: int = 100,
     return float(row["dcg"] / row["idcg"]) if row["idcg"] else 0.0
 
 
+def complete_graph(kept: DataFrame, masked: DataFrame,
+                   seed: int = 42) -> DataFrame:
+    """Degree-proportional completion of a masked graph — the stand-in
+    for the reference's external KronEM/KronGen binaries
+    (predict_kg.py:40,97,201-335): Kronecker models encode heavy-tailed
+    degree bias; the sampler reattaches every masked node with
+    round(avg-degree) edges whose endpoints are drawn from the kept
+    graph proportional to degree (preferential attachment), via
+    deterministic hashing (no RNG state — any executor count reproduces
+    the same completion).
+
+    Scale shape: the cumulative-degree table is a single bounded window
+    over the node dictionary (entity dictionaries are top-N-truncated
+    by construction) and rides into the slot join as a broadcast range
+    join; the masked side stays distributed."""
+    deg = (kept.select(F.col("head_id").alias("node"))
+           .union(kept.select(F.col("tail_id").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    totals = deg.agg(F.sum("deg").alias("total"),
+                     F.count("*").alias("n")).collect()[0]
+    total, n = int(totals["total"]), int(totals["n"])
+    if n == 0:
+        return kept
+    k_per_node = max(1, round(total / (2 * n)))  # ≈ average degree / 2
+
+    w = Window.orderBy(F.asc("node"))
+    intervals = F.broadcast(
+        deg.withColumn("hi", F.sum("deg").over(w))
+        .withColumn("lo", F.col("hi") - F.col("deg"))
+        .select(F.col("node").alias("target"), "lo", "hi"))
+
+    slots = masked.select(
+        "node", F.explode(F.sequence(F.lit(1), F.lit(k_per_node)))
+        .alias("slot"))
+    draw = F.pmod(F.abs(F.hash(F.col("node"), F.col("slot"),
+                               F.lit(seed))), F.lit(total))
+    sampled = (slots.withColumn("draw", draw)
+               .join(intervals, (F.col("draw") >= F.col("lo"))
+                     & (F.col("draw") < F.col("hi")))
+               .filter(F.col("node") != F.col("target"))
+               .select(F.col("node").alias("head_id"),
+                       F.col("target").alias("tail_id"),
+                       F.lit(-1).cast("long").alias("rel_id"))
+               .distinct())
+    return kept.select("head_id", "tail_id", "rel_id").unionByName(sampled)
+
+
 def reconstruction_eval(edges: DataFrame, fraction: float = 0.25,
-                        k: int = 100, seed: int = 42) -> dict[str, float]:
-    """Masked-graph reconstruction harness (predict_kg.py:201-335 shape,
-    minus the external KronEM/KronGen completion): mask a node fraction,
-    recompute degree + eigenvector centrality on the masked graph, score
-    the masked ranking against the full-graph ranking with NDCG@k.
-    Returns {"ndcg_degree": ..., "ndcg_eigenvector": ...}."""
+                        k: int = 100, seed: int = 42,
+                        complete: bool = True) -> dict[str, float]:
+    """Masked-graph reconstruction harness (predict_kg.py:201-335
+    shape): mask a node fraction, COMPLETE the masked graph with the
+    degree-proportional sampler (KronEM/KronGen stand-in; pass
+    ``complete=False`` for the degrade-only ablation), recompute degree
+    + eigenvector centrality, score against the full-graph ranking with
+    NDCG@k. Returns {"ndcg_degree": ..., "ndcg_eigenvector": ...}."""
     from . import analytics
 
-    kept, _ = mask_nodes(edges, fraction, seed)
+    kept, masked = mask_nodes(edges, fraction, seed)
+    scored = complete_graph(kept, masked, seed) if complete else kept
     full_deg = analytics.degree_centrality(edges) \
         .select("node", F.col("centrality_micro").cast("double")
                 .alias("score"))
-    mask_deg = analytics.degree_centrality(kept) \
+    mask_deg = analytics.degree_centrality(scored) \
         .select("node", F.col("centrality_micro").cast("double")
                 .alias("score"))
     full_eig = analytics.eigenvector_centrality(edges, max_iter=15)
-    mask_eig = analytics.eigenvector_centrality(kept, max_iter=15)
+    mask_eig = analytics.eigenvector_centrality(scored, max_iter=15)
     return {
         "ndcg_degree": ndcg_at_k(full_deg, mask_deg, k),
         "ndcg_eigenvector": ndcg_at_k(full_eig, mask_eig, k),

@@ -31,20 +31,23 @@ def ingest_available_now(spark: SparkSession,
                          lang_filter: str | None = "en") -> int:
     """Drain all unprocessed document parquet files from ``docs_dir``
     into a raw-triples table at ``out_dir``. Returns rows appended in
-    this invocation (file-level exactly-once via the checkpoint)."""
-    def table_count() -> int:
-        try:
-            return spark.read.parquet(out_dir).count()
-        except Exception:
-            return 0
+    this invocation (file-level exactly-once via the checkpoint).
 
-    before = table_count()
+    Appended-row accounting comes from an ``observe()`` metric attached
+    to the stream (reported per micro-batch in the query progress) —
+    NOT from counting the output table, which would cost two full scans
+    per micro-ingest at a large triples table (VERDICT r1 #8; the file
+    sink itself reports numOutputRows = -1, so observed metrics are the
+    scan-free channel)."""
+    from pyspark.sql import functions as F
+
     stream = (spark.readStream
               .schema(DOCUMENTS_SCHEMA)
               .option("maxFilesPerTrigger", 64)
               .parquet(docs_dir))
 
-    triples = fused_extract_stage(stream, lexicon, lemmas, lang_filter)
+    triples = fused_extract_stage(stream, lexicon, lemmas, lang_filter) \
+        .observe("ingest_metrics", F.count(F.lit(1)).alias("rows"))
 
     query = (triples.writeStream
              .format("parquet")
@@ -54,4 +57,10 @@ def ingest_available_now(spark: SparkSession,
              .trigger(availableNow=True)
              .start())
     query.awaitTermination()
-    return table_count() - before
+    appended = 0
+    for p in query.recentProgress:
+        om = p["observedMetrics"] if "observedMetrics" in p else {}
+        m = om.get("ingest_metrics")
+        if m is not None:
+            appended += int(m["rows"])
+    return appended
