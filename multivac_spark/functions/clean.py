@@ -161,7 +161,6 @@ def clean_text_stage(df, lexicon: frozenset[str],
                      text_col: str = "text", out_col: str = "clean_text"):
     """documents + text → + clean_text. NULL text flows through as NULL
     (FIXTURES.md invariant #5)."""
-    out_fields = df.schema.simpleString()  # not used; build schema via DDL
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in df.schema.fields)
     schema = schema + f", {out_col} string"

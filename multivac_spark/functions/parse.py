@@ -193,11 +193,8 @@ def parse_tokens(words: list[str], lexicon: dict[str, str],
     """Row-oriented view of ``parse_tokens_columns`` (the in-Python
     consumers — SVO, coref, query mapping — walk token dicts)."""
     ii, tt, lm, ps, hd, dp = parse_tokens_columns(words, lexicon, lemmas)
-    return [
-        {"i": ii[k], "text": tt[k], "lemma": lm[k], "pos": ps[k],
-         "head": hd[k], "dep": dp[k]}
-        for k in range(len(ii))
-    ]
+    return [{"i": a, "text": b, "lemma": c, "pos": d, "head": e, "dep": f}
+            for a, b, c, d, e, f in zip(ii, tt, lm, ps, hd, dp)]
 
 
 def parse_document(text: str, lexicon: dict[str, str],

@@ -49,28 +49,25 @@ def _children_index(tokens: list[dict]) -> list[list[int]]:
     return kids
 
 
-def _pos_tree(tokens: list[dict], kids: list[list[int]], ti: int,
-              prefixes: tuple[str, ...]) -> list[int]:
+def _pos_tree(kids: list[list[int]], ti: int, mask: list[bool],
+              reprs: list[str]) -> list[int]:
     """pos_tree semantics (rdf_parse.py:295-313): seed token included if
     its POS matches; matching children recursed into only via matching
-    children. Returns indices sorted by repr-string."""
+    children. Returns indices sorted by repr-string. ``mask`` and
+    ``reprs`` are precomputed per sentence (hot path: this runs once
+    per noun/verb seed per sentence)."""
     acc: set[int] = set()
 
-    def matches(j: int) -> bool:
-        p = tokens[j]["pos"] or ""
-        return any(p.startswith(x) for x in prefixes)
-
     def walk(j: int, seed: bool) -> None:
-        if seed and matches(j):
+        if seed and mask[j]:
             acc.add(j)
         for c in kids[j]:
-            if matches(c):
-                if c not in acc:
-                    acc.add(c)
-                    walk(c, seed=False)
+            if mask[c] and c not in acc:
+                acc.add(c)
+                walk(c, seed=False)
 
     walk(ti, seed=True)
-    return sorted(acc, key=lambda j: _repr_key(tokens[j]))
+    return sorted(acc, key=reprs.__getitem__)
 
 
 def _prune_contained(groups: list[list[int]]) -> list[list[int]]:
@@ -93,14 +90,17 @@ def extract_svo(tokens: list[dict]) -> list[tuple[int, str, str, str]]:
     if not tokens:
         return []
     kids = _children_index(tokens)
+    pos = [(t["pos"] or "") for t in tokens]
+    reprs = [_repr_key(t) for t in tokens]
+    # str.startswith(tuple) == any(startswith(x) for x in tuple)
+    mask_nj = [p.startswith(("N", "J")) for p in pos]
+    mask_vr = [p.startswith(("V", "R")) for p in pos]
 
-    noun_seeds = [j for j, t in enumerate(tokens)
-                  if (t["pos"] or "").startswith("N")]
-    verb_seeds = [j for j, t in enumerate(tokens)
-                  if (t["pos"] or "").startswith("V")]
+    noun_seeds = [j for j, p in enumerate(pos) if p.startswith("N")]
+    verb_seeds = [j for j, p in enumerate(pos) if p.startswith("V")]
 
-    nouns = [_pos_tree(tokens, kids, j, ("N", "J")) for j in noun_seeds]
-    verbs = [_pos_tree(tokens, kids, j, ("V", "R")) for j in verb_seeds]
+    nouns = [_pos_tree(kids, j, mask_nj, reprs) for j in noun_seeds]
+    verbs = [_pos_tree(kids, j, mask_vr, reprs) for j in verb_seeds]
 
     nouns = _prune_contained(nouns)
     verbs = _prune_contained(verbs)
@@ -135,10 +135,11 @@ def extract_svo(tokens: list[dict]) -> list[tuple[int, str, str, str]]:
     else:
         idx = 0
         full_trees = {}
+        mask_all = [True] * len(tokens)  # ("",) prefix matches everything
 
-        def full_tree(j: int) -> list[int]:
+        def full_tree(j: int) -> set[int]:
             if j not in full_trees:
-                full_trees[j] = set(_pos_tree(tokens, kids, j, ("",)))
+                full_trees[j] = set(_pos_tree(kids, j, mask_all, reprs))
             return full_trees[j]
 
         def in_children(parent: list[int], child: list[int]) -> bool:
