@@ -895,6 +895,46 @@ FROM known JOIN top USING (pred)
 """
 
 
+def q_session_agg(spark, sf_dir):
+    """Gap-based sessionization over the events stream shape — the
+    batch twin (Spark native session_window, a merging-window partial
+    aggregate: ONE shuffle on the key, no self-join) of the stateful
+    streaming operator in streaming/sessionize.py. 8h gap over the
+    30-day event table yields multi-event sessions per user."""
+    from multivac_spark.streaming.sessionize import sessionize_batch
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_batch(ev, "user_id", "ts",
+                            gap_seconds=28_800, value_col="value")
+
+
+# DuckDB twin: lag + cumulative-sum session ids. Same-session rule is
+# ts - prev < gap, matching Spark's overlap merge ([t, t+gap) windows,
+# end-exclusive); the synthetic microsecond timestamps cannot land on
+# the exact boundary.
+SQL_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts - lag(ts) OVER w) < 28800 THEN 0 ELSE 1 END
+             AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start_ms,
+       CAST(epoch_ms(max(ts)) + 28800000 AS BIGINT) AS session_end_ms,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def _equation_deps_sql() -> str:
     counts = _eq_template_counts()
     cols = []
@@ -968,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "equation_deps": q_equation_deps,
         "link_prediction": q_link_prediction,
+        "session_agg": q_session_agg,
     }
 
 
@@ -1006,4 +1047,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dup_pairs": _minhash_pairs_sql(),
         "equation_deps": _equation_deps_sql(),
         "link_prediction": SQL_LINKPRED,
+        "session_agg": SQL_SESSION,
     }

@@ -111,6 +111,50 @@ def sessionize_stream(stream, gap_seconds: int = 1800,
                 GroupStateTimeout.EventTimeTimeout))
 
 
+def sessionize_batch(events, key_col: str, ts_col: str,
+                     gap_seconds: int = 1800,
+                     value_col: str | None = None):
+    """Batch twin of the stateful sessionizer, built on Spark's native
+    ``session_window`` (merging-window aggregation — the Catalyst
+    operator behind streaming session windows, usable in batch too).
+
+    Returns one row per (key, session):
+    ``(key, session_start_ms, session_end_ms, n_events[, value_cents])``
+    with epoch-ms BIGINT bounds (cross-engine hash-stable) where
+    ``session_end_ms`` = last event + gap, matching both the streaming
+    operator's timeout deadline and Spark's window.end.
+
+    Scale shape: session_window is a partial-merge aggregate — events
+    shuffle once on the key, windows merge map-side; no self-join, no
+    global window. At 10^12 events this is the same single shuffle as
+    any groupBy(key).
+    """
+    from pyspark.sql import functions as F
+
+    win = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
+    aggs = [F.count("*").alias("n_events")]
+    if value_col is not None:
+        # per-row cents then exact BIGINT sum — float-sum rounding can
+        # flip a floor() at the boundary across engines; this can't
+        aggs.append(F.sum(F.round(F.col(value_col) * 100).cast("long"))
+                    .alias("value_cents"))
+    out = (events.groupBy(F.col(key_col), win).agg(*aggs))
+
+    # TZ-independent epoch-ms for TIMESTAMP_NTZ inputs (unix_millis
+    # requires LTZ and would silently shift with the session timezone)
+    def epoch_ms(col):
+        return F.timestamp_diff(
+            "MILLISECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), col)
+
+    return out.select(
+        F.col(key_col),
+        epoch_ms(F.col("session_window.start")).alias("session_start_ms"),
+        epoch_ms(F.col("session_window.end")).alias("session_end_ms"),
+        "n_events",
+        *([F.col("value_cents")] if value_col is not None else []))
+
+
 def run_sessionize_available_now(spark, docs_dir: str, out_dir: str,
                                  checkpoint_dir: str,
                                  gap_seconds: int = 1800,
