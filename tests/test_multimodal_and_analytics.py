@@ -9,7 +9,7 @@ from multivac_spark.operators import analytics
 
 
 def test_multimodal_feature_plumbing(spark):
-    media = multimodal.synth_media_df(spark, 30)
+    media = multimodal.synth_media_df(spark, 30, decodable=False)
     feats = multimodal.extract_features_stage(media, use_fake_decoder=True)
     rows = feats.collect()
     assert len(rows) == 30
@@ -19,18 +19,67 @@ def test_multimodal_feature_plumbing(spark):
         assert r["n_bytes"] == 256
     # determinism: same payload → same feature
     again = {r["url"]: r["feature"]
-             for r in multimodal.extract_features_stage(media).collect()}
+             for r in multimodal.extract_features_stage(
+                 media, use_fake_decoder=True).collect()}
     for r in rows:
         assert again[r["url"]] == r["feature"]
 
 
+def test_multimodal_real_decode_end_to_end(spark):
+    """Real decoders over real payloads: PPM+BMP images, PCM WAV audio,
+    PPM-stream video — all rows decode, features are content-derived."""
+    media = multimodal.synth_media_df(spark, 30, decodable=True)
+    rows = multimodal.extract_features_stage(media).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r["decode_error"] is None, (r["url"], r["decode_error"])
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+    # image features carry width/height in slots 0/1
+    img = [r for r in rows if r["kind"] == "image"][0]
+    assert abs(img["feature"][0] - 0.032) < 1e-6   # w=32
+    assert abs(img["feature"][1] - 0.024) < 1e-6   # h=24
+
+
 def test_multimodal_real_decoder_errors_isolated(spark):
-    media = multimodal.synth_media_df(spark, 9)
+    media = multimodal.synth_media_df(spark, 9, decodable=False)
     feats = multimodal.extract_features_stage(media, use_fake_decoder=False)
     rows = feats.collect()
     assert len(rows) == 9
     assert all(r["decode_error"] is not None for r in rows)
     assert all(r["feature"] is None for r in rows)
+
+
+def test_image_decoders_agree_and_resize():
+    """The BMP writer/decoder round-trips the exact PPM pixel array;
+    nearest-neighbor resize picks source pixels (no interpolation)."""
+    ppm = multimodal._synth_ppm(7)
+    arr_ppm = multimodal.decode_image(ppm)
+    arr_bmp = multimodal.decode_image(multimodal._synth_bmp(7))
+    assert arr_ppm.shape == (24, 32, 3)
+    assert np.array_equal(arr_ppm, arr_bmp)
+    small = multimodal.resize_image(arr_ppm, 6, 8)
+    assert small.shape == (6, 8, 3)
+    assert small[0, 0].tolist() == arr_ppm[0, 0].tolist()
+
+
+def test_wav_decode_sine_rms():
+    """0.5-amplitude sine → RMS ≈ 0.5/√2; rate and mono downmix held."""
+    x, rate = multimodal.decode_audio(multimodal._synth_wav(3))
+    assert rate == 8000 and len(x) == 2000
+    assert abs(np.sqrt(np.mean(x**2)) - 0.5 / np.sqrt(2)) < 0.01
+    feats = multimodal.audio_features(x, rate)
+    assert len(feats) == multimodal.FEATURE_DIM
+    assert abs(feats[0] - 0.25) < 1e-6  # duration
+
+
+def test_video_frame_sampling():
+    stream = multimodal._synth_ppm_stream(2, n_frames=6)
+    frames = multimodal.sample_video_frames(stream, n=4)
+    assert len(frames) == 4
+    assert all(f.shape == (12, 16, 3) for f in frames)
+    # evenly spaced: first sampled frame is frame 0
+    first, _ = multimodal._ppm_parse_one(stream, 0)
+    assert np.array_equal(frames[0], first)
 
 
 def _edges(spark, pairs):
