@@ -41,33 +41,41 @@ def partition_stats(df: DataFrame, key_col: str | None = None) -> DataFrame:
 
 
 def write_stage(spark: SparkSession, df: DataFrame, base_dir: str,
-                run_id: str, stage: str) -> DataFrame:
+                run_id: str, stage: str,
+                partition_by: str | None = None) -> DataFrame:
     """Write stage output + lineage; returns the re-read output.
 
     Each invocation is stamped with a monotonically increasing
     ``attempt_id`` so a crash-and-retry appends a *second, self-
     consistent* set of manifest rows instead of corrupting the sum
     check in ``stage_complete`` (which validates only the latest
-    attempt against its own marker)."""
+    attempt against its own marker).
+
+    ``partition_by`` writes a directory-partitioned layout (e.g. the
+    edges table's ``rel_bucket`` — see plans/tables.py for the
+    Iceberg-transform equivalent)."""
     out = os.path.join(base_dir, stage)
     t0 = time.time()
     attempt = time.time_ns()
-    df.write.mode("overwrite").parquet(out)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(out)
     back = spark.read.parquet(out)
 
+    # ONE scan of the written output: per-partition stats collected to
+    # the driver (bounded by the partition count), marker total summed
+    # locally — the previous shape paid a second full count() for the
+    # marker. Stats + marker land in a single manifest append, so the
+    # marker cannot become visible without its partition rows.
+    stats_rows = partition_stats(back).collect()
     wall = int((time.time() - t0) * 1000)
-    stats = (partition_stats(back)
-             .select(F.lit(run_id).alias("run_id"),
-                     F.lit(stage).alias("stage"),
-                     F.lit(attempt).alias("attempt_id"),
-                     "partition_id", "row_count",
-                     F.lit(False).alias("complete"),
-                     F.lit(wall).alias("wall_ms")))
-    marker = spark.createDataFrame(
-        [(run_id, stage, attempt, -1, back.count(), True, wall)],
-        MANIFEST_SCHEMA)
-    stats.unionByName(marker).write.mode("append") \
-        .parquet(_manifest_path(base_dir))
+    total = sum(r["row_count"] for r in stats_rows)
+    rows = [(run_id, stage, attempt, r["partition_id"], r["row_count"],
+             False, wall) for r in stats_rows]
+    rows.append((run_id, stage, attempt, -1, total, True, wall))
+    spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(_manifest_path(base_dir))
     return back
 
 
@@ -105,9 +113,11 @@ def stage_complete(spark: SparkSession, base_dir: str,
 
 
 def run_or_resume(spark: SparkSession, base_dir: str, run_id: str,
-                  stage: str, build) -> DataFrame:
+                  stage: str, build,
+                  partition_by: str | None = None) -> DataFrame:
     """If the stage's manifest says complete → re-read its output;
     otherwise compute via ``build()`` and write with lineage."""
     if stage_complete(spark, base_dir, run_id, stage):
         return spark.read.parquet(os.path.join(base_dir, stage))
-    return write_stage(spark, build(), base_dir, run_id, stage)
+    return write_stage(spark, build(), base_dir, run_id, stage,
+                       partition_by=partition_by)

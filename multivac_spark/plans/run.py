@@ -33,8 +33,9 @@ def run_materialized(spark: SparkSession,
     lex, lemmas = default_lexicons()
     lexset = frozenset(lex)
 
-    def stage(name: str, build):
-        return lineage.run_or_resume(spark, out_dir, run_id, name, build)
+    def stage(name: str, build, partition_by: str | None = None):
+        return lineage.run_or_resume(spark, out_dir, run_id, name, build,
+                                     partition_by=partition_by)
 
     def build_sentences() -> DataFrame:
         extracted = extract_text_stage(documents)
@@ -71,8 +72,18 @@ def run_materialized(spark: SparkSession,
 
     entities = stage("entities", lambda: graph_tables()["entities"])
     relations = stage("relations", lambda: graph_tables()["relations"])
-    edges = stage("edges", lambda: materialize.salted(
-        graph_tables()["edges"], "rel_id"))
+    # edges land in the bucketed layout (plans/tables.py): rel_bucket
+    # directory partitions + (bucket, salt) repartition + in-partition
+    # sort — predicate-pruned scans, no hot-predicate writer
+    edges = stage(
+        "edges",
+        lambda: materialize.salted(
+            graph_tables()["edges"]
+            .withColumn("rel_bucket",
+                        F.pmod(F.hash("rel_id"), F.lit(16))),
+            "rel_id")
+        .sortWithinPartitions("rel_id", "head_id", "tail_id"),
+        partition_by="rel_bucket").drop("rel_bucket")
     constraints = stage("type_constraints",
                         lambda: materialize.type_constraints(edges))
 
