@@ -57,6 +57,40 @@ _SMART_QUOTES = str.maketrans({"‘": "'", "’": "'",
 
 _RE_YEAR_GATE = re.compile(r"(?:19|20)\d\d")
 
+# --- windowed in-text-citation sub -----------------------------------------
+# RE_INTEXT_CITE is by far the most expensive pattern in the chain (deep
+# backtracking at every word start). Matches can only contain characters
+# from the pattern's alphabet: letters, digits, whitespace, and
+# ' - , & . ( ) \ plus the 0x60-0xE9 range of the word class (`{|}~` and
+# Latin-1 letters) — EXCEPT at the two unescaped-dot positions ("et al.?"
+# and ", p.? [0-9]+"), where one arbitrary character can be consumed.
+# Characters outside that alphabet are therefore hard match boundaries,
+# UNLESS directly preceded by "et al" or ", p" (the dot contexts). Those
+# two facts make the segment-split below EXACTLY equivalent to running
+# the sub over the whole document: split only at non-alphabet runs whose
+# start is not a dot context, and substitute only in segments that pass
+# the year gate (both pattern arms require a 19xx/20xx literal).
+_CITE_SEP = re.compile(r"[!\"#$%*+/:;<=>?@\[\]^_]+")
+
+
+def _sub_intext_cite(doc: str) -> str:
+    pieces: list[str] = []
+    last = 0
+    for m in _CITE_SEP.finditer(doc):
+        i = m.start()
+        if (doc[max(0, i - 5):i].endswith("et al")
+                or doc[max(0, i - 3):i].endswith(", p")):
+            continue  # possible unescaped-dot consumption — don't split
+        seg = doc[last:i]
+        pieces.append(RE_INTEXT_CITE.sub(" Citation ", seg)
+                      if _RE_YEAR_GATE.search(seg) else seg)
+        pieces.append(m.group(0))
+        last = m.end()
+    seg = doc[last:]
+    pieces.append(RE_INTEXT_CITE.sub(" Citation ", seg)
+                  if _RE_YEAR_GATE.search(seg) else seg)
+    return "".join(pieces)
+
 
 def clean_document(doc: str, lexicon: frozenset[str]) -> str:
     """Pure-function port of clean_doc (textparsing.py:33-78).
@@ -73,9 +107,11 @@ def clean_document(doc: str, lexicon: frozenset[str]) -> str:
     if '"' in doc:  # the reference URL pattern requires literal quotes
         doc = RE_URL.sub(" ", doc)
     # both alternation branches of the in-text-cite pattern require a
-    # 19xx/20xx year literal
+    # 19xx/20xx year literal; the segment-split applies the expensive
+    # pattern only to year-bearing spans (exact-equivalence argument at
+    # _CITE_SEP above; pinned by the direct-vs-split parity test)
     if _RE_YEAR_GATE.search(doc):
-        doc = RE_INTEXT_CITE.sub(" Citation ", doc)
+        doc = _sub_intext_cite(doc)
     if "(" in doc:
         doc = RE_EMPTY_CITE.sub(" ", doc)
         doc = RE_EMPTY_EG.sub(" ", doc)

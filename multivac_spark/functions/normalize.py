@@ -22,12 +22,15 @@ Reference semantics per part (rdf_graph.py:356-396):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _PUNCT_TOKENS = list("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")
 _PUNCT_SET = set(_PUNCT_TOKENS)
 _DIGITS = set("0123456789")
+_DIGIT_RE = re.compile(r"[0-9]")
 
 
 def normalize_triple_py(subj: str, pred: str, obj: str,
@@ -54,8 +57,9 @@ def normalize_triple_py(subj: str, pred: str, obj: str,
     if len(o_toks) == 1 and o_toks[0] in non_nouns:
         return None
     s, p, o = " ".join(s_toks), " ".join(p_toks), " ".join(o_toks)
+    _search = _DIGIT_RE.search  # C-speed twin of any(ch in _DIGITS)
     for part in (s, p, o):
-        if any(ch in _DIGITS for ch in part):
+        if _search(part):
             return None
     if len(s) < min_char_len or len(o) < min_char_len:
         return None

@@ -92,8 +92,12 @@ def parse_tokens_columns(words: list[str], lexicon: dict[str, str],
         punctuation → punct on root
     """
     n = len(words)
-    pos = [tag(w, lexicon) for w in words]
-    lemma = [lemmas.get(w.lower(), w.lower()) for w in words]
+    lws = [w.lower() for w in words]  # one lower() per word, not three
+    _lex_get = lexicon.get
+    pos = [_lex_get(lw) or tag(w, lexicon)
+           for w, lw in zip(words, lws)]
+    _lem_get = lemmas.get
+    lemma = [_lem_get(lw, lw) for lw in lws]
     head = [-1] * n
     dep = ["dep"] * n
 

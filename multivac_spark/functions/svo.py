@@ -36,7 +36,7 @@ TRIPLES_SCHEMA = ("url string, sent_id int, rdf_idx int, "
 def _repr_key(t: dict) -> str:
     # stanford_token.__repr__ (rdf_parse.py:117-121); head here is the
     # 0-based governor exactly like stanford_token.head
-    return "{}:{}=>{}:{}".format(t["i"], t["text"], t["dep"], t["head"])
+    return f'{t["i"]}:{t["text"]}=>{t["dep"]}:{t["head"]}'
 
 
 def _children_index(tokens: list[dict]) -> list[list[int]]:
@@ -72,14 +72,22 @@ def _pos_tree(kids: list[list[int]], ti: int, mask: list[bool],
 
 def _prune_contained(groups: list[list[int]]) -> list[list[int]]:
     """Containment pruning with the reference's in-place mutation order
-    (rdf_parse.py:331-339)."""
+    (rdf_parse.py:331-339). Subset tests run on set shadows kept in
+    sync with the mutation (an emptied group can never contain
+    anything, matching ``all(x in []) == True`` only for empty gs[i],
+    which the ``gs[i] and`` guard already excludes)."""
     gs = [list(g) for g in groups]
+    sets = [set(g) for g in groups]
     for i in range(len(gs)):
-        for j, other in enumerate(gs):
+        gi = sets[i]
+        if not gi:
+            continue
+        for j in range(len(gs)):
             if j == i:
                 continue
-            if gs[i] and all(x in other for x in gs[i]):
+            if gs[i] and gi <= sets[j] and gs[j]:
                 gs[i] = []
+                sets[i] = set()
                 break
     return [g for g in gs if g]
 
@@ -114,12 +122,14 @@ def extract_svo(tokens: list[dict]) -> list[tuple[int, str, str, str]]:
 
     by_i = lambda js: sorted(js, key=lambda j: tokens[j]["i"])
 
+    subj_mask = ["subj" in (t["dep"] or "") for t in tokens]
+
     if len(nouns) == 1:
         rdfs[0]["subject"] = nouns[0]          # pos_tree order kept
     else:
         idx = 0
         for g in nouns:
-            if any("subj" in (tokens[j]["dep"] or "") for j in g):
+            if any(subj_mask[j] for j in g):
                 if rdfs[idx]["subject"]:
                     idx += 1
                     ensure(idx)

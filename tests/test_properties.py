@@ -50,6 +50,27 @@ def test_html_extractor_total_on_arbitrary_bytes(b):
     assert out is None or isinstance(out, str)
 
 
+# alphabet stressing the citation pattern's dot contexts ("et al.?",
+# ", p.? [0-9]+"), its separators, and year literals
+_cite_chunks = st.sampled_from([
+    "Smith", "et al", "et al.", "and Jones", "& Li", "2019", "1999a",
+    "(", ")", ";", ":", "?", "[", "]", ",", ", p", ", p.", " 12",
+    "19", "20", "&", "-", " ", "viral genome", "@", "/", "\\", "e.g.",
+])
+cite_texts = st.lists(_cite_chunks, min_size=0, max_size=25).map("".join)
+
+
+@given(cite_texts)
+@settings(max_examples=300, deadline=None)
+def test_citation_split_sub_exactly_matches_direct(t):
+    """The segment-split fast path of the in-text-citation sub is
+    byte-identical to running the reference regex over the whole
+    document (the exactness argument in clean.py:_CITE_SEP)."""
+    from multivac_spark.functions.clean import RE_INTEXT_CITE, \
+        _sub_intext_cite
+    assert _sub_intext_cite(t) == RE_INTEXT_CITE.sub(" Citation ", t)
+
+
 @given(st.integers(2, 30), st.integers(0, 10**6))
 @settings(max_examples=50, deadline=None)
 def test_average_linkage_labels_valid_partition(m, seed):
