@@ -193,6 +193,48 @@ def preprocess_document(doc: str) -> str:
     return doc
 
 
+# --- paragraph-level cleaner (src/data/clean_documents.py:19-87) -----------
+_PARA_CITATIONS1 = re.compile(r"\s*\[[1-9][0-9,–\-\s]*\]")
+_PARA_CITATIONS2 = re.compile(r"\s*\(.+?[12][0-9]{3}\)")
+_PARA_CITATIONS3 = re.compile(r"[0-9]{1,3}(,\s[0-9]{1,3})+")
+_PARA_STARTING = re.compile(r"^\(.+?\)[.\s]*")
+_PARA_NUMERALS = re.compile(r"\([ivx]+?\)\s*")
+_PARA_WEIRD_NUMERALS = re.compile(r"[a-z][0-9]+")
+_PARA_EMPTY_PARENS = re.compile(r"\(\)[\s,]*")
+_PARA_EMPTY_BRACKET = re.compile(r"\[\][\s,]*")
+_PARA_WEIRD_ELIPSES = re.compile(r"\.\s\.\s\.")
+
+
+def clean_paragraphs(paragraphs: list[str]) -> str:
+    """Faithful port of the *other* cleaner, ``clean_doc`` in
+    src/data/clean_documents.py:38-87 (paragraph-level, applied after
+    source parsing): per paragraph — strip/newline/nbsp replacement,
+    five citation/numeral regexes, the weird-numeral quirk (every
+    ``[a-z][0-9]+`` hit has its DIGITS substring removed everywhere in
+    the paragraph via ``str.replace`` — reproduced as-is), empty
+    parens/brackets, spaced ellipses → '...'; keep only paragraphs
+    that start with an uppercase-stable char and don't start with
+    'click'; a trailing ':' becomes '.'; join with spaces."""
+    texts: list[str] = []
+    for line in paragraphs:
+        text = (line or "").strip().replace("\n", "").replace("\xa0", " ")
+        for regex in (_PARA_CITATIONS1, _PARA_CITATIONS2,
+                      _PARA_CITATIONS3, _PARA_STARTING, _PARA_NUMERALS):
+            text = regex.sub("", text)
+        for found in _PARA_WEIRD_NUMERALS.findall(text):
+            text = text.replace(found[1:], "")
+        text = _PARA_EMPTY_PARENS.sub("", text)
+        text = _PARA_EMPTY_BRACKET.sub("", text)
+        text = _PARA_WEIRD_ELIPSES.sub("...", text)
+        text = text.strip()
+        if (text and text[0] == text[0].upper()
+                and not text.lower().startswith("click")):
+            if text.endswith(":"):
+                text = text[:-1] + "."
+            texts.append(text)
+    return " ".join(texts)
+
+
 def clean_text_stage(df, lexicon: frozenset[str],
                      text_col: str = "text", out_col: str = "clean_text"):
     """documents + text → + clean_text. NULL text flows through as NULL

@@ -178,6 +178,31 @@ def extract_svo(tokens: list[dict]) -> list[tuple[int, str, str, str]]:
     return out
 
 
+def expand_rdf_groups(groups: dict[int, dict[str, list[int]]],
+                      mentions: list[tuple[int, int]]
+                      ) -> dict[int, dict[str, list[int]]]:
+    """Twin of ``expand_rdfs`` (rdf_parse.py:214-226): widen each RDF
+    node's token list to cover any overlapping entity-mention token
+    range [begin, end). Declared in the reference but never called —
+    implemented here (like its top_tfidf) and exposed for pipelines
+    that carry mention spans (this package's NP chunks stand in for
+    CoreNLP ``entitymentions``)."""
+    if not mentions:
+        return groups
+    out: dict[int, dict[str, list[int]]] = {}
+    for rdf, parts in groups.items():
+        new_parts = {}
+        for node, node_toks in parts.items():
+            toks_set = set(node_toks)
+            for begin, end in mentions:
+                toks = range(begin, end)
+                if toks_set.intersection(toks):
+                    toks_set = toks_set.union(toks)
+            new_parts[node] = sorted(toks_set)
+        out[rdf] = new_parts
+    return out
+
+
 def extract_triples_stage(sentences_df):
     """sentences(url, sent_id, text, tokens) → raw_triples(url, sent_id,
     rdf_idx, subj, pred, obj)."""

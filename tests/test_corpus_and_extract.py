@@ -57,3 +57,43 @@ def test_extract_stage_spark(spark):
     for i in range(60):
         row = corpus.gen_document(i)
         assert by_url[row["url"]] == parse_html_oracle(row["html"])
+
+
+def test_clean_paragraphs_reference_semantics():
+    """clean_documents.py:38-87 twin: citation regexes, weird-numeral
+    digit removal quirk, capital-start filter, colon->period, join."""
+    from multivac_spark.functions.clean import clean_paragraphs
+
+    paras = [
+        "The virus [1, 2] spreads (Smith 2019) fast.",
+        "lowercase start is dropped.",
+        "Click here to subscribe.",
+        "Results show the following:",
+        "(iv) The enzyme p53 binds () [] targets.",
+        "Numbers 12, 34 vanish . . . here.",
+    ]
+    out = clean_paragraphs(paras)
+    assert "[1, 2]" not in out and "(Smith 2019)" not in out
+    assert "lowercase" not in out
+    assert "Click" not in out
+    assert "Results show the following." in out
+    # weird-numeral quirk: 'p53' match removes '53' everywhere
+    assert "p53" not in out and "The enzyme p binds" in out
+    assert "()" not in out and "[]" not in out
+    assert "12, 34" not in out
+    assert "..." in out
+
+
+def test_expand_rdf_groups_unwired_reference_twin():
+    """expand_rdfs (rdf_parse.py:214-226): overlapping mention ranges
+    widen node token lists; disjoint mentions leave them alone."""
+    from multivac_spark.functions.svo import expand_rdf_groups
+
+    groups = {0: {"subject": [1, 2], "relation": [3], "object": [5]}}
+    # mention [2,5) overlaps subject {1,2} -> union; [7,9) is disjoint
+    out = expand_rdf_groups(groups, [(2, 5), (7, 9)])
+    assert out[0]["subject"] == [1, 2, 3, 4]
+    assert out[0]["relation"] == [2, 3, 4]  # full [2,5) range unioned in
+    assert out[0]["object"] == [5]
+    # no mentions -> identity
+    assert expand_rdf_groups(groups, []) is groups
