@@ -38,6 +38,10 @@ class PipelineConfig:
     # optional relation clustering, off by default like the reference
     # (cluster_relations flag, rdf_extract.py:102-104,119-122)
     cluster_relations: bool = False
+    # which extraction path: 'rdf_parse' = the Phase-I substitute_rdfs
+    # twin (fused, default); 'textacy' = the Phase-II RDFExtractor twin
+    # (rdf_extract.py:767-833, functions/svo_textacy.py)
+    extractor: str = "rdf_parse"
 
 
 def default_lexicons() -> tuple[dict[str, str], dict[str, str]]:
@@ -100,7 +104,10 @@ def run_pipeline(spark: SparkSession,
     # the fused doc→triples stage so token structs never cross Arrow
     # (functions/fused.py) — parity of the two paths is pytest-pinned.
     sentences = parse_stage(cleaned, lex, lemmas)
-    if cfg.coref:
+    if cfg.extractor == "textacy":
+        from ..functions.svo_textacy import extract_triples_textacy_stage
+        raw_triples = extract_triples_textacy_stage(sentences)
+    elif cfg.coref:
         raw_triples = extract_triples_stage(sentences)
     else:
         raw_triples = fused_extract_stage(documents, lex, lemmas,

@@ -85,3 +85,22 @@ def test_stage_runs_on_spark(spark):
         assert r["subj"] and r["pred"] and r["obj"]
         assert r["subj"] == r["subj"].lower()
         assert not any(c.isdigit() for c in r["subj"] + r["obj"])
+
+
+def test_pipeline_textacy_extractor_end_to_end(spark):
+    """PipelineConfig(extractor='textacy') drives the Phase-II path
+    through normalize -> canonicalize -> edges."""
+    from multivac_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from multivac_spark.sources import corpus
+
+    docs = corpus.documents_df(spark, 80, partitions=4)
+    emb = corpus.embeddings_df(spark)
+    tables = run_pipeline(spark, docs, emb,
+                          PipelineConfig(top_n_ent=2000, top_n_rel=50,
+                                         extractor="textacy"))
+    trip = tables["triples"]
+    n = trip.count()
+    assert n > 50
+    # textacy-path signature: normalized parts never contain digits and
+    # single-word subjects pass the NN check like the primary path
+    assert tables["edges"].count() > 0
