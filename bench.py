@@ -96,12 +96,12 @@ def main() -> None:
     from multivac_spark.functions.fused import fused_extract_stage
     t0 = time.time()
     small = docs.limit(200).localCheckpoint()
+    from multivac_spark.functions.parse import fused_sentences_stage
     normalize_triples(fused_extract_stage(small, lex, lemmas, "en"),
                       vocab.verb_lemma_table(), lex) \
         .write.format("noop").mode("overwrite").save()
-    parse_stage(clean_text_stage(
-        extract_text_stage(small).filter("lang = 'en'"), frozenset(lex)),
-        lex, lemmas).write.format("noop").mode("overwrite").save()
+    fused_sentences_stage(small, lex, lemmas, "en") \
+        .write.format("noop").mode("overwrite").save()
     timings["stage_warmup"] = round(time.time() - t0, 3)
 
     t0 = time.time()
@@ -111,13 +111,10 @@ def main() -> None:
     n_triples = triples.count()
     timings["kg_fused_extract_normalize"] = round(time.time() - t0, 3)
 
-    # staged sentences product (token structs cross Arrow — kept as its
-    # own metric, not on the triples path)
+    # sentences product via the fused single-Arrow-pass stage (the
+    # staged 3-crossing path remains for the coref variant)
     t0 = time.time()
-    sentences = parse_stage(
-        clean_text_stage(extract_text_stage(docs).filter("lang = 'en'"),
-                         frozenset(lex)),
-        lex, lemmas)
+    sentences = fused_sentences_stage(docs, lex, lemmas, "en")
     n_sent = sentences.count()
     timings["kg_sentences_product"] = round(time.time() - t0, 3)
 

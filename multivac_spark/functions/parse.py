@@ -219,6 +219,72 @@ _FLAT_TOKENS_SCHEMA = (
 )
 
 
+def _zip_tokens(flat):
+    from pyspark.sql import functions as F
+
+    return flat.select(
+        "url", "sent_id", "text",
+        F.arrays_zip(F.col("ti").alias("i"), F.col("tt").alias("text"),
+                     F.col("tl").alias("lemma"), F.col("tp").alias("pos"),
+                     F.col("th").alias("head"), F.col("td").alias("dep"))
+        .alias("tokens"))
+
+
+def fused_sentences_stage(documents, lexicon: dict[str, str],
+                          lemmas: dict[str, str],
+                          lang_filter: str | None = "en"):
+    """documents(url, warc_ts, html, text, lang) → sentences in ONE
+    Arrow pass (html→text → clean → parse fused, the sentences-product
+    twin of functions/fused.py). The staged ``parse_stage`` pays three
+    Python round-trips — html bytes and full document text each cross
+    Arrow twice more; fusing removes both extra crossings. Output is
+    identical to the staged path (parity-pinned in
+    test_parse_and_svo.py)."""
+    from ..functions.clean import clean_document
+    from ..functions.html_text import extract_article_text
+
+    lexset = frozenset(lexicon)
+    src = documents
+    if lang_filter:
+        src = src.filter(src.lang == lang_filter)
+    src = src.select("url", "html", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in
+                                     ("url", "sent_id", "text", "ti", "tt",
+                                      "tl", "tp", "th", "td")}
+            for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+                if text is None:
+                    text = extract_article_text(html)
+                if text is None:
+                    continue
+                cleaned = clean_document(text, lexset)
+                for sid, sent in enumerate(split_sentences(cleaned)):
+                    words = tokenize(sent)
+                    if not words:
+                        continue
+                    ii, tt, lm, ps, hd, dp = parse_tokens_columns(
+                        words, lexicon, lemmas)
+                    cols["url"].append(url)
+                    cols["sent_id"].append(sid)
+                    cols["text"].append(sent)
+                    cols["ti"].append(ii)
+                    cols["tt"].append(tt)
+                    cols["tl"].append(lm)
+                    cols["tp"].append(ps)
+                    cols["th"].append(hd)
+                    cols["td"].append(dp)
+            yield pd.DataFrame(
+                {"url": pd.Series(cols["url"], dtype=object),
+                 "sent_id": pd.Series(cols["sent_id"], dtype="int64"),
+                 "text": pd.Series(cols["text"], dtype=object),
+                 **{k: pd.Series(cols[k], dtype=object)
+                    for k in ("ti", "tt", "tl", "tp", "th", "td")}})
+
+    return _zip_tokens(src.mapInPandas(run, schema=_FLAT_TOKENS_SCHEMA))
+
+
 def parse_stage(df, lexicon: dict[str, str], lemmas: dict[str, str],
                 text_col: str = "clean_text"):
     """(url, …, clean_text) → sentences(url, sent_id, text, tokens).
@@ -270,10 +336,4 @@ def parse_stage(df, lexicon: dict[str, str], lemmas: dict[str, str],
                  **{k: pd.Series(cols[k], dtype=object)
                     for k in ("ti", "tt", "tl", "tp", "th", "td")}})
 
-    flat = src.mapInPandas(run, schema=_FLAT_TOKENS_SCHEMA)
-    return flat.select(
-        "url", "sent_id", "text",
-        F.arrays_zip(F.col("ti").alias("i"), F.col("tt").alias("text"),
-                     F.col("tl").alias("lemma"), F.col("tp").alias("pos"),
-                     F.col("th").alias("head"), F.col("td").alias("dep"))
-        .alias("tokens"))
+    return _zip_tokens(src.mapInPandas(run, schema=_FLAT_TOKENS_SCHEMA))

@@ -100,10 +100,17 @@ def run_pipeline(spark: SparkSession,
         cleaned = resolve_coref_stage(cleaned, lex, lemmas)
         # coref rewrites feed the staged path; the fused path below is
         # only taken when coref is off (the default, as in the reference)
-    # sentences is a *product* table (staged path); the triples path uses
-    # the fused doc→triples stage so token structs never cross Arrow
-    # (functions/fused.py) — parity of the two paths is pytest-pinned.
-    sentences = parse_stage(cleaned, lex, lemmas)
+    # sentences is a *product* table; without coref it comes from the
+    # single-Arrow-pass fused stage (extract+clean+parse in one
+    # crossing); with coref the staged path is required because the
+    # resolver rewrites the cleaned text. Parity of the two paths is
+    # pytest-pinned.
+    if cfg.coref:
+        sentences = parse_stage(cleaned, lex, lemmas)
+    else:
+        from ..functions.parse import fused_sentences_stage
+        sentences = fused_sentences_stage(documents, lex, lemmas,
+                                          cfg.lang_filter)
     if cfg.extractor == "textacy":
         from ..functions.svo_textacy import extract_triples_textacy_stage
         raw_triples = extract_triples_textacy_stage(sentences)

@@ -38,11 +38,9 @@ def run_materialized(spark: SparkSession,
                                      partition_by=partition_by)
 
     def build_sentences() -> DataFrame:
-        extracted = extract_text_stage(documents)
-        if cfg.lang_filter:
-            extracted = extracted.filter(F.col("lang") == cfg.lang_filter)
-        cleaned = clean_text_stage(extracted, lexset)
-        return parse_stage(cleaned, lex, lemmas)
+        from ..functions.parse import fused_sentences_stage
+        return fused_sentences_stage(documents, lex, lemmas,
+                                     cfg.lang_filter)
 
     sentences = stage("sentences", build_sentences)
 

@@ -102,3 +102,31 @@ def test_pipeline_triples_recall_vs_gold():
           f"gold={len(gold_set)} mine={len(mine_set)}")
     assert precision >= 0.95, precision
     assert recall >= 0.95, recall
+
+
+def test_fused_sentences_stage_matches_staged_path(spark):
+    """fused_sentences_stage (one Arrow crossing) produces exactly the
+    staged extract→clean→parse output, row for row and token for
+    token."""
+    from multivac_spark.functions.clean import clean_text_stage
+    from multivac_spark.functions.html_text import extract_text_stage
+    from multivac_spark.functions.parse import (fused_sentences_stage,
+                                                parse_stage)
+    from multivac_spark.plans.pipeline import default_lexicons
+    from multivac_spark.sources import corpus
+
+    lex, lemmas = default_lexicons()
+    docs = corpus.documents_df(spark, 150, partitions=4)
+    staged = parse_stage(
+        clean_text_stage(extract_text_stage(docs).filter("lang = 'en'"),
+                         frozenset(lex)), lex, lemmas)
+    fused = fused_sentences_stage(docs, lex, lemmas, "en")
+
+    a = sorted((r["url"], r["sent_id"], r["text"],
+                tuple(tuple(t) for t in r["tokens"]))
+               for r in staged.collect())
+    b = sorted((r["url"], r["sent_id"], r["text"],
+                tuple(tuple(t) for t in r["tokens"]))
+               for r in fused.collect())
+    assert len(a) > 100
+    assert a == b
