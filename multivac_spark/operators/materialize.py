@@ -103,6 +103,51 @@ def salted(df: DataFrame, key: str, buckets: int = SALT_BUCKETS,
     return df.repartition(F.col(key), salt)
 
 
+def write_neo4j_bulk(tables: dict[str, DataFrame], out_dir: str,
+                     entity_label: str = "Entity",
+                     rel_type_col: str = "rel") -> dict[str, str]:
+    """Neo4j sink in the ``neo4j-admin database import`` bulk-CSV
+    layout (the scalable answer to the reference's row-at-a-time
+    py2neo writer, src/data/write_mln_to_graph_db.py:64-110 — that
+    path is MLN-specific and transactional; bulk import is the
+    documented Neo4j route for initial loads at this scale).
+
+    Layout: one driver-written header CSV per table plus distributed
+    headerless part files, exactly the multi-file form
+    ``--nodes=<header>,<parts...> --relationships=<header>,<parts...>``
+    expects. Node ids reuse the deterministic ``entity_id`` space.
+    """
+    import os
+
+    ents = tables["entities"]
+    rels = F.broadcast(tables["relations"])
+    edges = tables["edges"]
+
+    nodes_dir = os.path.join(out_dir, "nodes")
+    rels_dir = os.path.join(out_dir, "relationships")
+    (ents.select(F.col("entity_id").cast("string").alias("id"),
+                 F.col("entity").alias("name"),
+                 F.lit(entity_label).alias("label"))
+     .write.mode("overwrite").option("header", "false")
+     .option("quoteAll", "true").csv(nodes_dir))
+    (edges.join(rels, "rel_id")
+     .select(F.col("head_id").cast("string").alias("start"),
+             F.col("tail_id").cast("string").alias("end"),
+             F.col(rel_type_col).alias("type"))
+     .write.mode("overwrite").option("header", "false")
+     .option("quoteAll", "true").csv(rels_dir))
+
+    os.makedirs(out_dir, exist_ok=True)
+    node_header = os.path.join(out_dir, "nodes_header.csv")
+    rel_header = os.path.join(out_dir, "relationships_header.csv")
+    with open(node_header, "w") as f:
+        f.write("name:ID,name,:LABEL\n")
+    with open(rel_header, "w") as f:
+        f.write(":START_ID,:END_ID,:TYPE\n")
+    return {"nodes_header": node_header, "nodes": nodes_dir,
+            "relationships_header": rel_header, "relationships": rels_dir}
+
+
 def write_openke_text(tables: dict[str, DataFrame], out_dir: str) -> None:
     """Optional parity export in the OpenKE text layout: count header
     line, then tab-separated rows; train2id order (head, tail, rel)

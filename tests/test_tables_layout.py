@@ -58,3 +58,35 @@ def test_write_graph_tables_all_three(spark):
         assert set(locs) == {"entities", "relations", "edges"}
         assert spark.read.parquet(locs["entities"]).count() == 2
         assert tables.read_edges(spark, locs["edges"]).count() == 1
+
+
+def test_neo4j_bulk_sink_layout(spark):
+    """neo4j-admin bulk-import layout: header CSVs + headerless
+    distributed parts, node ids shared with the edge endpoints."""
+    import csv
+    import glob
+    import os
+    import tempfile
+
+    from multivac_spark.operators import materialize
+
+    ents = spark.createDataFrame(
+        [("virus", 0), ("cell", 1)], "entity string, entity_id long")
+    rels = spark.createDataFrame([("infect", 0)], "rel string, rel_id long")
+    edges = spark.createDataFrame(
+        [(0, 1, 0)], "head_id long, tail_id long, rel_id long")
+    with tempfile.TemporaryDirectory() as d:
+        locs = materialize.write_neo4j_bulk(
+            {"entities": ents, "relations": rels, "edges": edges}, d)
+        assert open(locs["nodes_header"]).read() == "name:ID,name,:LABEL\n"
+        assert open(locs["relationships_header"]).read() == \
+            ":START_ID,:END_ID,:TYPE\n"
+        node_rows = []
+        for p in glob.glob(os.path.join(locs["nodes"], "part-*.csv")):
+            node_rows += list(csv.reader(open(p)))
+        rel_rows = []
+        for p in glob.glob(os.path.join(locs["relationships"], "part-*.csv")):
+            rel_rows += list(csv.reader(open(p)))
+        assert sorted(node_rows) == [["0", "virus", "Entity"],
+                                     ["1", "cell", "Entity"]]
+        assert rel_rows == [["0", "1", "infect"]]
