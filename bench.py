@@ -63,11 +63,7 @@ def main() -> None:
     # ---- KG pipeline over the synthetic corpus --------------------------
     # stages built explicitly (run_pipeline's clustering step is eager;
     # explicit sequencing keeps each phase's timing honest)
-    from multivac_spark.functions.clean import clean_text_stage
-    from multivac_spark.functions.html_text import extract_text_stage
     from multivac_spark.functions.normalize import normalize_triples
-    from multivac_spark.functions.parse import parse_stage
-    from multivac_spark.functions.svo import extract_triples_stage
     from multivac_spark.operators import canon, materialize
     from multivac_spark.plans.pipeline import default_lexicons
     from multivac_spark.sources import vocab
