@@ -49,24 +49,41 @@ def eigenvector_centrality(edges: DataFrame, max_iter: int = 30,
                            tol: float = 1e-6,
                            src: str = "head_id",
                            dst: str = "tail_id",
-                           checkpoint_every: int = 5) -> DataFrame:
+                           checkpoint_every: int = 5,
+                           driver_fastpath_edges: int = 1_000_000
+                           ) -> DataFrame:
     """Power iteration; mirrors the reference's tolerance-escalation loop
     (calculate_network_change.py:22-31) by relaxing tol ×10 if the
     iteration fails to converge within max_iter.
 
-    ONE driver action per iteration (VERDICT r1 #7): the norm and the
-    convergence delta come from a single fused aggregate —
-    s2 = Σ raw², dot = Σ raw·prev — because prev is unit-norm, so
-    ‖x_new − x_prev‖₂ = √(2 − 2·dot/√s2). Convergence uses the L2
-    bound √n·‖Δ‖₂ < n·tol (nx checks L1 < n·tol; L1 ≤ √n·L2, so this
-    is the conservative side of the same criterion). Lineage is cut by
-    a localCheckpoint every ``checkpoint_every`` rounds instead of
-    every round — 1 job/iter + 1 every k, down from 3/iter."""
+    **Driver fast path** (graphs whose symmetric edge list is ≤
+    ``driver_fastpath_edges``): collect the edge list once and iterate
+    in numpy — the same formula, norm, convergence bound, and
+    escalation schedule, without paying one scheduled Spark job per
+    iteration (~0.3s × up to 90 iterations of pure latency on a small
+    graph). Same design precedent as canon.cluster_entities: work that
+    does not grow with the corpus runs where latency is lowest. Pass
+    ``driver_fastpath_edges=0`` to force the distributed path.
+
+    **Distributed path**: ONE driver action per iteration (VERDICT r1
+    #7) — the norm and the convergence delta come from a single fused
+    aggregate — s2 = Σ raw², dot = Σ raw·prev — because prev is
+    unit-norm, so ‖x_new − x_prev‖₂ = √(2 − 2·dot/√s2). Convergence
+    uses the L2 bound √n·‖Δ‖₂ < n·tol (nx checks L1 < n·tol; L1 ≤
+    √n·L2, so this is the conservative side of the same criterion).
+    Lineage is cut by a localCheckpoint every ``checkpoint_every``
+    rounds — 1 job/iter + 1 every k, down from 3/iter."""
     sym = _sym(edges, src, dst).localCheckpoint()
     nodes = sym.select(F.col("u").alias("node")).distinct().localCheckpoint()
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("score", F.lit(0.0))
+
+    if driver_fastpath_edges:
+        n_sym = sym.count()
+        if n_sym <= driver_fastpath_edges:
+            return _eigenvector_driver(edges.sparkSession, sym, n,
+                                       max_iter, tol)
 
     x = nodes.withColumn("score", F.lit(1.0 / n ** 0.5))
     current_tol = tol
@@ -96,6 +113,46 @@ def eigenvector_centrality(edges: DataFrame, max_iter: int = 30,
                 return x
         current_tol *= 10
     return x
+
+
+def _eigenvector_driver(spark, sym: DataFrame, n: int,
+                        max_iter: int, tol: float) -> DataFrame:
+    """numpy twin of the distributed loop: identical update, norm,
+    L2 convergence bound, and ×10 tolerance escalation. Validated
+    against the pinned integer oracle (entry `eigenvector_centrality`)
+    and the two-component pytest."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sym.collect()
+    node_ids = sorted({r["u"] for r in rows})
+    idx = {v: i for i, v in enumerate(node_ids)}
+    u = np.fromiter((idx[r["u"]] for r in rows), dtype=np.int64,
+                    count=len(rows))
+    v = np.fromiter((idx[r["v"]] for r in rows), dtype=np.int64,
+                    count=len(rows))
+
+    x = np.full(n, 1.0 / n ** 0.5)
+    current_tol = tol
+    for _attempt in range(3):
+        for _ in range(max_iter):
+            raw = np.bincount(u, weights=x[v], minlength=n)
+            s2 = float(raw @ raw)
+            if s2 == 0.0:
+                break
+            norm = s2 ** 0.5
+            cos = min(1.0, max(-1.0, float(raw @ x) / norm))
+            x = raw / norm
+            delta_l2 = max(0.0, 2.0 - 2.0 * cos) ** 0.5
+            if delta_l2 * n ** 0.5 < n * current_tol:
+                return spark.createDataFrame(
+                    pd.DataFrame({"node": node_ids, "score": x}))
+        else:
+            current_tol *= 10
+            continue
+        break
+    return spark.createDataFrame(pd.DataFrame({"node": node_ids,
+                                               "score": x}))
 
 
 def centrality_delta(before: DataFrame, after: DataFrame,

@@ -107,6 +107,23 @@ def test_eigenvector_centrality_two_components(spark):
     assert res[0] > res[3]
 
 
+def test_eigenvector_driver_fastpath_matches_distributed(spark):
+    """The numpy fast path and the per-iteration Spark loop implement
+    the same update/convergence/escalation — scores agree to float
+    noise on the oracle's ring+chords graph."""
+    rows = ([(i, (i + 1) % 50) for i in range(50)]
+            + [(i, (3 * i + 7) % 50) for i in range(50)])
+    e = _edges(spark, rows)
+    fast = {r["node"]: r["score"]
+            for r in analytics.eigenvector_centrality(
+                e, max_iter=15).collect()}
+    dist = {r["node"]: r["score"]
+            for r in analytics.eigenvector_centrality(
+                e, max_iter=15, driver_fastpath_edges=0).collect()}
+    assert set(fast) == set(dist)
+    assert max(abs(fast[k] - dist[k]) for k in fast) < 1e-12
+
+
 def test_eigenvector_one_job_per_iteration(spark):
     """VERDICT r1 #7: the fused norm+delta agg means ONE driver action
     per power-iteration round (plus one checkpoint job every 5 rounds
