@@ -71,6 +71,32 @@ def test_citation_split_sub_exactly_matches_direct(t):
     assert _sub_intext_cite(t) == RE_INTEXT_CITE.sub(" Citation ", t)
 
 
+_sent_words = st.lists(st.sampled_from(
+    ["virus", "cell", "genome", "protein", "membrane", "assay",
+     "binding", "network", "model", "system"]), min_size=1, max_size=8)
+
+
+@given(st.lists(_sent_words, min_size=1, max_size=12),
+       st.integers(0, 10**6))
+@settings(max_examples=100, deadline=None)
+def test_textrank_scores_properties(sents, seed):
+    """Damped PageRank invariants: mass ~1, all scores positive,
+    scores invariant under sentence permutation (up to reindexing)."""
+    from multivac_spark.operators.textrank import textrank_scores
+
+    s = textrank_scores(sents)
+    assert len(s) == len(sents)
+    # positive scores, bounded mass (exactly 1 when no sentence is
+    # dangling; dangling vertices keep only their (1-d)/n share —
+    # standard PageRank behavior, ordering is what TextRank consumes)
+    assert (s > 0).all()
+    assert s.sum() <= 1.0 + 1e-6
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(len(sents))
+    s2 = textrank_scores([sents[i] for i in perm])
+    assert np.allclose(s2, s[perm], atol=1e-8)
+
+
 @given(st.integers(2, 30), st.integers(0, 10**6))
 @settings(max_examples=50, deadline=None)
 def test_average_linkage_labels_valid_partition(m, seed):
