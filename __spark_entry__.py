@@ -942,6 +942,46 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+_TR_SENTS = [
+    ("d0", 0, "the viral genome infects the living cell"),
+    ("d0", 1, "the cell membrane binds the viral protein"),
+    ("d0", 2, "protein binding activates the immune cell response"),
+    ("d0", 3, "completely unrelated astronomy telescope words orbit"),
+    ("d1", 0, "spark shuffles partition the network data stream"),
+    ("d1", 1, "the data stream joins the network partition"),
+    ("d1", 2, "broadcast joins avoid the shuffle of small data"),
+    ("d1", 3, "gardening tulips bloom in spring flowerbeds"),
+]
+
+# kernel-computed, plausibility-checked milli-scores (the most
+# lexically connected sentence ranks first in each doc; the disjoint
+# filler drops out of the top-3) — same pinning pattern as the
+# eigenvector VALUES oracle
+_TR_PINNED = [("d0", 1, 1, 296), ("d0", 0, 2, 230), ("d0", 2, 3, 223),
+              ("d1", 1, 1, 316), ("d1", 0, 2, 263), ("d1", 2, 3, 170)]
+
+
+def q_textrank_rank(spark, sf_dir):
+    """TextRank sentence ranking (operators/textrank.py — the
+    reference's third query-generation path) over a fixed two-document
+    input, sf-independent so the oracle can pin exact milli-scores;
+    the corpus-scale path is pytest-covered end-to-end."""
+    from multivac_spark.operators.textrank import rank_sentences
+    df = spark.createDataFrame(_TR_SENTS,
+                               "url string, sent_id int, text string")
+    return (rank_sentences(df, top_k=3)
+            .select("url", "sent_id", "rank", "textrank_milli"))
+
+
+SQL_TEXTRANK = ("SELECT url, CAST(sent_id AS INT) AS sent_id, "
+                "CAST(rank AS INT) AS rank, "
+                "CAST(textrank_milli AS BIGINT) AS textrank_milli "
+                "FROM (VALUES "
+                + ", ".join(f"('{u}', {s}, {r}, {m})"
+                            for u, s, r, m in _TR_PINNED)
+                + ") AS t(url, sent_id, rank, textrank_milli)")
+
+
 def _equation_deps_sql() -> str:
     counts = _eq_template_counts()
     cols = []
@@ -1016,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equation_deps": q_equation_deps,
         "link_prediction": q_link_prediction,
         "session_agg": q_session_agg,
+        "textrank_rank": q_textrank_rank,
     }
 
 
@@ -1055,4 +1096,5 @@ def oracle_sql() -> dict[str, str]:
         "equation_deps": _equation_deps_sql(),
         "link_prediction": SQL_LINKPRED,
         "session_agg": SQL_SESSION,
+        "textrank_rank": SQL_TEXTRANK,
     }
