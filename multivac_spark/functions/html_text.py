@@ -75,14 +75,21 @@ def extract_article_text(html: bytes | str | None) -> str | None:
 def extract_text_stage(df, html_col: str = "html", out_col: str = "text"):
     """documents(url, warc_ts, html, text, lang) → same schema with
     ``text`` filled. mapInPandas keeps the html bytes off the JVM heap
-    once parsed and lets Arrow batch the transfer."""
+    once parsed and lets Arrow batch the transfer.
+
+    A pre-populated (non-NULL) ``text`` is kept as-is — re-extraction
+    would discard upstream-supplied text and redo work; this matches
+    ``fused_sentences_stage``'s semantics exactly (parity-pinned in
+    test_fused_parity.py with a non-null-text row)."""
     schema = df.schema
     cols = [f.name for f in schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[out_col] = [extract_article_text(h) for h in pdf[html_col]]
+            pdf[out_col] = [
+                t if t is not None else extract_article_text(h)
+                for t, h in zip(pdf[out_col], pdf[html_col])]
             yield pdf[cols]
 
     return df.mapInPandas(run, schema=df.schema)

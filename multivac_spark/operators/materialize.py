@@ -141,7 +141,7 @@ def write_neo4j_bulk(tables: dict[str, DataFrame], out_dir: str,
     node_header = os.path.join(out_dir, "nodes_header.csv")
     rel_header = os.path.join(out_dir, "relationships_header.csv")
     with open(node_header, "w") as f:
-        f.write("name:ID,name,:LABEL\n")
+        f.write("id:ID,name,:LABEL\n")
     with open(rel_header, "w") as f:
         f.write(":START_ID,:END_ID,:TYPE\n")
     return {"nodes_header": node_header, "nodes": nodes_dir,

@@ -96,18 +96,35 @@ def rank_sentences(sentences: DataFrame, top_k: int = 3) -> DataFrame:
             .groupBy("url").applyInPandas(kernel, schema=RANKED_SCHEMA))
 
 
-def answer_words(ranked: DataFrame, documents: DataFrame) -> DataFrame:
+def answer_words(ranked: DataFrame, documents: DataFrame,
+                 n_docs: int | None = None,
+                 broadcast_idf_max_docs: int = 5_000_000) -> DataFrame:
     """For each key sentence, the highest-TF-IDF token (the 'answer'
     the reference feeds to its query generator). TF-IDF = per-doc term
     frequency × log(N/df) over the documents table — two
-    shuffle-bounded aggregations + one broadcastable join on token."""
+    shuffle-bounded aggregations + one join on token.
+
+    Both TF and DF sides lowercase before tokenizing — they must share
+    one normalization or capitalized-only tokens get no IDF row and the
+    inner join silently drops answer candidates.
+
+    Callers that already know the corpus size pass ``n_docs`` to skip
+    the extra count job. The token→IDF dictionary is vocabulary-sized
+    (sublinear in corpus size); below ``broadcast_idf_max_docs``
+    documents it is hinted broadcast so the plan is deterministically
+    a BroadcastHashJoin — above that the guard backs off to a shuffle
+    join rather than risk an over-large broadcast (AQE may still pick
+    broadcast at runtime from actual sizes)."""
     docs_tok = documents.select(
-        F.col("url"), F.explode(tokens(F.col("text"))).alias("token"))
-    n_docs = documents.count()
+        F.col("url"), F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    if n_docs is None:
+        n_docs = documents.count()
     df_counts = (docs_tok.select("url", "token").distinct()
                  .groupBy("token").agg(F.count("*").alias("df")))
     idf = df_counts.select(
         "token", F.log(F.lit(float(n_docs)) / F.col("df")).alias("idf"))
+    if n_docs <= broadcast_idf_max_docs:
+        idf = F.broadcast(idf)
 
     sent_tok = ranked.select(
         "url", "sent_id", "rank",

@@ -28,6 +28,40 @@ def test_fused_equals_staged(spark):
     assert len(a) > 50
 
 
+def test_fused_equals_staged_with_prepopulated_text(spark):
+    """Both paths must PREFER a pre-populated non-NULL ``text`` over
+    re-extracting from html (upstream may supply already-extracted
+    text; re-extraction would discard it). Pins the semantics for rows
+    the synthetic corpus (text always NULL) never exercises."""
+    import pyspark.sql.functions as F
+
+    lex, lemmas = default_lexicons()
+    docs = corpus.documents_df(spark, 20, partitions=2)
+    # give some rows a pre-populated text that DIFFERS from their html
+    pre = ("The researcher describes the experiment . "
+           "The model predicts the outcome .")
+    docs = docs.withColumn(
+        "text",
+        F.when(F.crc32(F.col("url")) % 3 == 0, F.lit(pre))
+        .otherwise(F.col("text")))
+
+    staged = extract_triples_stage(
+        parse_stage(
+            clean_text_stage(
+                extract_text_stage(docs).filter("lang = 'en'"),
+                frozenset(lex)),
+            lex, lemmas))
+    fused = fused_extract_stage(docs, lex, lemmas, "en")
+
+    a = sorted(tuple(r) for r in staged.collect())
+    b = sorted(tuple(r) for r in fused.collect())
+    assert a == b
+    # the pre-populated text actually flowed through (its triples show)
+    kept = extract_text_stage(docs).filter(
+        "text = '" + pre + "'").count()
+    assert kept > 0
+
+
 def test_fused_normalize_equals_column_normalize(spark):
     from multivac_spark.functions.normalize import normalize_triples
     from multivac_spark.sources import vocab

@@ -78,7 +78,9 @@ def test_neo4j_bulk_sink_layout(spark):
     with tempfile.TemporaryDirectory() as d:
         locs = materialize.write_neo4j_bulk(
             {"entities": ents, "relations": rels, "edges": edges}, d)
-        assert open(locs["nodes_header"]).read() == "name:ID,name,:LABEL\n"
+        # header fields must be unique (neo4j-admin rejects a duplicate
+        # property name) and must match the (id, name, label) data columns
+        assert open(locs["nodes_header"]).read() == "id:ID,name,:LABEL\n"
         assert open(locs["relationships_header"]).read() == \
             ":START_ID,:END_ID,:TYPE\n"
         node_rows = []
