@@ -830,13 +830,26 @@ _EQ_TEMPLATES = [
 _EQ_RELS = ("compare", "combine", "function", "transform")
 
 
+# FROZEN literals — derived ONCE from the INDEPENDENT reference path
+# (real sympy sreprs over hand-built expressions matching each template
+# + tests/test_eqparse._ref_gov_dep + an exact-membership get_rel
+# transcription of equationparsing.py:80-95), NOT from the shipped
+# eqparse kernel, so this oracle is independent of the code under test.
+# tests/test_eqparse.py::test_frozen_entry_counts_match_reference_path
+# re-derives them and pins equality. Note template 3's Function governor
+# carries its argument span, so exact-membership get_rel → 'transform'.
+_EQ_TEMPLATE_COUNTS = [
+    {"compare": 2, "combine": 2, "function": 0, "transform": 0},
+    {"compare": 2, "combine": 4, "function": 0, "transform": 0},
+    {"compare": 2, "combine": 2, "function": 0, "transform": 1},
+    {"compare": 2, "combine": 4, "function": 0, "transform": 0},
+    {"compare": 2, "combine": 6, "function": 0, "transform": 0},
+    {"compare": 2, "combine": 6, "function": 0, "transform": 0},
+]
+
+
 def _eq_template_counts() -> list[dict[str, int]]:
-    from multivac_spark.functions.eqparse import latex_parsing
-    out = []
-    for t in _EQ_TEMPLATES:
-        deps, _p, _m = latex_parsing(t)
-        out.append({r: sum(1 for d in deps if d[0] == r) for r in _EQ_RELS})
-    return out
+    return _EQ_TEMPLATE_COUNTS
 
 
 def q_equation_deps(spark, sf_dir):

@@ -332,23 +332,45 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     labels = (vertices.select(F.col(key), F.col(key).alias("label"))
               .localCheckpoint())
 
-    for _ in range(max_iter):
+    from pyspark.sql import Observation
+
+    for i in range(max_iter):
+        # step 1: neighbor-min propagation (1 hop)
         nbr_min = (sym.join(labels, sym.dst == labels[key], "inner")
                    .groupBy("src").agg(F.min("label").alias("nbr_label")))
-        new = (labels.join(nbr_min, labels[key] == nbr_min.src, "left")
-               .select(labels[key],
+        stepped = (labels.join(nbr_min, labels[key] == nbr_min.src, "left")
+                   .select(labels[key],
+                           F.least(F.col("label"),
+                                   F.coalesce("nbr_label", "label"))
+                           .alias("label"),
+                           F.col("label").alias("_old")))
+        # step 2: pointer-doubling — label := label(label). Hop-only
+        # propagation moves 1 hop/round (a diameter-D component needs D
+        # rounds); the jump makes the frontier distance roughly double
+        # per round, so convergence is O(log diameter). min-label is
+        # monotone (label(x) <= x), so the lookup only ever improves.
+        jump = stepped.select(F.col(key).alias("_jk"),
+                              F.col("label").alias("_jl"))
+        # convergence probe rides the SAME pass as the label update via
+        # observe(): the localCheckpoint job both materializes the new
+        # labels and emits sum(label != old) — 1 job/round, not 3
+        obs = Observation(f"cc_changed_{i}")
+        new = (stepped.join(jump, stepped.label == jump._jk, "left")
+               .select(F.col(key),
                        F.least(F.col("label"),
-                               F.coalesce("nbr_label", "label"))
-                       .alias("label")))
-        new = new.localCheckpoint()
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), key)
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .limit(1).count())
+                               F.coalesce("_jl", "label")).alias("label"),
+                       F.col("_old"))
+               .observe(obs, F.sum((F.col("label") != F.col("_old"))
+                                   .cast("long")).alias("changed"))
+               .drop("_old")
+               .localCheckpoint())
         labels = new
-        if changed == 0:
-            break
-    return labels
+        if (obs.get["changed"] or 0) == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(pointer-doubling handles diameter ~2^{max_iter}; this graph "
+        "should not exist — raise max_iter or inspect the edge set)")
 
 
 # --------------------------------------------------------------------------

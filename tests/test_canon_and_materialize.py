@@ -135,7 +135,36 @@ def test_connected_components_chain(spark, fastpath_limit):
     assert labels["z"] == "z"  # isolated vertex keeps its own label
 
 
-def test_top_n_and_ids(spark):
+def test_distributed_cc_one_job_per_round(spark):
+    """VERDICT r2 #3: the convergence probe rides the localCheckpoint
+    pass via observe() — ONE job per propagation round (plus bounded
+    setup: edge count, sym/labels checkpoints), down from 3/round."""
+    # a 5-vertex path graph: diameter 4 → 5 propagation rounds (label
+    # spreads 1 hop/round, +1 round to observe convergence)
+    n = 5
+    v = spark.createDataFrame([(f"v{i:02d}",) for i in range(n)],
+                              "mention string")
+    e = spark.createDataFrame([(f"v{i:02d}", f"v{i+1:02d}")
+                               for i in range(n - 1)],
+                              "src string, dst string")
+    sc = spark.sparkContext
+    # AQE splits one action into one job per materialized shuffle stage,
+    # which hides the action count; disable it so 1 action = 1 job
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("cc-jobs", "count jobs per round")
+    try:
+        labels = {r["mention"]: r["label"]
+                  for r in canon.connected_components(
+                      v, e, driver_fastpath_edges=0).collect()}
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("cc-jobs"))
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert all(lab == "v00" for lab in labels.values())
+    # Budget: 5 rounds x 1 job + 3 setup (edge count, 2 checkpoints)
+    # + 1 final collect = 9. The old probe-as-extra-job shape needs 14+.
+    assert n_jobs <= 11, n_jobs
     t = spark.createDataFrame(
         [("a", "r1", "b"), ("a", "r1", "c"), ("a", "r2", "b"),
          ("b", "r1", "a"), ("c", "r3", "d")],
