@@ -646,6 +646,55 @@ SQL_KG_SYNTH = (f"SELECT CAST({KG_SYNTH_N} AS BIGINT) AS n_triples, "
                 f"'{KG_SYNTH_HASH}' AS set_hash")
 
 
+# golden digests for the two non-default pipeline routes, pinned the
+# same way (two independent runs at local[4]/sp=8 and local[16]/sp=32,
+# identical both times). These pin the Phase-II textacy extractor path
+# (VERDICT r2 #5) and the coref-on STAGED path (VERDICT r2 #6 — coref
+# forces parse_stage + extract_triples_stage, the route the fused
+# default bypasses, so staged-path regressions become driver-visible).
+KG_TEXTACY_N = 1670
+KG_TEXTACY_HASH = "1726bdf5f6094286b49397c6b19a60c8"
+KG_COREF_N = 1302
+KG_COREF_HASH = "5e1176a4b9e6946f414f9a57b6295ffe"
+
+
+def _kg_digest(spark, cfg):
+    from multivac_spark.plans.pipeline import run_pipeline
+    from multivac_spark.sources import corpus
+    docs = corpus.documents_df(spark, 100)
+    emb = corpus.embeddings_df(spark)
+    tables = run_pipeline(spark, docs, emb, cfg)
+    return (tables["final_triples"]
+            .agg(F.count("*").alias("n_triples"),
+                 F.md5(F.concat_ws("\n", F.array_sort(F.collect_list(
+                     F.concat_ws("|", "subj", "pred", "obj")))))
+                 .alias("set_hash")))
+
+
+def q_kg_pipeline_textacy(spark, sf_dir):
+    """full KG construction through the Phase-II textacy-twin extractor
+    (functions/svo_textacy.py, rdf_extract.py:767-833 parity), reduced
+    to (count, sorted-set md5) against the pinned golden digest."""
+    from multivac_spark.plans.pipeline import PipelineConfig
+    return _kg_digest(spark, PipelineConfig(
+        top_n_ent=5000, top_n_rel=50, extractor="textacy"))
+
+
+def q_kg_pipeline_coref(spark, sf_dir):
+    """full KG construction with coref resolution ON — takes the staged
+    parse/extract route (coref splices resolved mentions between parse
+    and extraction, functions/coref.py), digest-pinned."""
+    from multivac_spark.plans.pipeline import PipelineConfig
+    return _kg_digest(spark, PipelineConfig(
+        top_n_ent=5000, top_n_rel=50, coref=True))
+
+
+SQL_KG_TEXTACY = (f"SELECT CAST({KG_TEXTACY_N} AS BIGINT) AS n_triples, "
+                  f"'{KG_TEXTACY_HASH}' AS set_hash")
+SQL_KG_COREF = (f"SELECT CAST({KG_COREF_N} AS BIGINT) AS n_triples, "
+                f"'{KG_COREF_HASH}' AS set_hash")
+
+
 # fixed 50-node graph (ring + 3i+7 chords): eigenvector scores pinned
 # against an independent numpy power-iteration twin with identical
 # update/convergence arithmetic; e4 values verified ≥4e-6 away from
@@ -1062,6 +1111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cleaner_regex": q_cleaner_regex,
         "tfidf": q_tfidf,
         "kg_pipeline_synth": q_kg_pipeline_synth,
+        "kg_pipeline_textacy": q_kg_pipeline_textacy,
+        "kg_pipeline_coref": q_kg_pipeline_coref,
         "eigenvector_centrality": q_eigenvector_centrality,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1102,6 +1153,8 @@ def oracle_sql() -> dict[str, str]:
         "cleaner_regex": SQL_CLEANER,
         "tfidf": SQL_TFIDF,
         "kg_pipeline_synth": SQL_KG_SYNTH,
+        "kg_pipeline_textacy": SQL_KG_TEXTACY,
+        "kg_pipeline_coref": SQL_KG_COREF,
         "eigenvector_centrality": SQL_EIGEN,
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
