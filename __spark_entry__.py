@@ -917,6 +917,44 @@ def q_equation_deps(spark, sf_dir):
                     *[f"n_{r}" for r in _EQ_RELS]))
 
 
+# frozen oracle for the Kronecker moment-fit (operators/kron.py, the
+# KronEM twin): exact integer graph moments + fitted initiator cells
+# x1e4 on the fixed heavy-tailed graph below. Moments are exact counts
+# (VALUES literal re-derivable by hand); the fit is driver-side
+# deterministic grid descent, identical at any parallelism (pinned by
+# test_kron.py determinism tests).
+_KRON_FIT_ROW = (600, 1321, 14519, 166, 9990, 5361, 1326, 10)
+
+
+def q_kron_fit(spark, sf_dir):
+    """distributed graph moments + moment-matching 2x2 Kronecker
+    initiator fit (predict_kg.py:40-130 KronEM twin) on a fixed
+    deterministic heavy-tailed graph."""
+    from multivac_spark.operators import kron
+    rows = []
+    for i in range(1, 600):
+        rows.append((i, i % 40, 0))
+        rows.append((i, (i * i) % 200, 1))
+        if i % 3 == 0:
+            rows.append((i, i - 1, 2))
+    edges = spark.createDataFrame(
+        rows, "head_id long, tail_id long, rel_id long")
+    mom = kron.graph_moments(edges)
+    fit = kron.fit_initiator(mom)
+    data = [(mom["n"], mom["m"], mom["wedges"], mom["triangles"],
+             round(fit["a"] * 10000), round(fit["b"] * 10000),
+             round(fit["c"] * 10000), fit["k"])]
+    return spark.createDataFrame(
+        data, "n long, m long, wedges long, triangles long, "
+              "a_e4 long, b_e4 long, c_e4 long, k long")
+
+
+SQL_KRON_FIT = ("SELECT " + ", ".join(
+    f"CAST({v} AS BIGINT) AS {c}" for v, c in zip(
+        _KRON_FIT_ROW,
+        ("n", "m", "wedges", "triangles", "a_e4", "b_e4", "c_e4", "k"))))
+
+
 def q_link_prediction(spark, sf_dir):
     """relation-conditioned frequency imputation (linkpred.impute_slot):
     the TransE-free analog of the reference predict() candidate ranking
@@ -1113,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline_synth": q_kg_pipeline_synth,
         "kg_pipeline_textacy": q_kg_pipeline_textacy,
         "kg_pipeline_coref": q_kg_pipeline_coref,
+        "kron_fit": q_kron_fit,
         "eigenvector_centrality": q_eigenvector_centrality,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1155,6 +1194,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pipeline_synth": SQL_KG_SYNTH,
         "kg_pipeline_textacy": SQL_KG_TEXTACY,
         "kg_pipeline_coref": SQL_KG_COREF,
+        "kron_fit": SQL_KRON_FIT,
         "eigenvector_centrality": SQL_EIGEN,
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),

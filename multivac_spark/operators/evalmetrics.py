@@ -104,17 +104,31 @@ def complete_graph(kept: DataFrame, masked: DataFrame,
 
 def reconstruction_eval(edges: DataFrame, fraction: float = 0.25,
                         k: int = 100, seed: int = 42,
-                        complete: bool = True) -> dict[str, float]:
+                        complete: bool = True,
+                        method: str = "degree") -> dict[str, float]:
     """Masked-graph reconstruction harness (predict_kg.py:201-335
-    shape): mask a node fraction, COMPLETE the masked graph with the
-    degree-proportional sampler (KronEM/KronGen stand-in; pass
-    ``complete=False`` for the degrade-only ablation), recompute degree
-    + eigenvector centrality, score against the full-graph ranking with
-    NDCG@k. Returns {"ndcg_degree": ..., "ndcg_eigenvector": ...}."""
+    shape): mask a node fraction, COMPLETE the masked graph, recompute
+    degree + eigenvector centrality, score against the full-graph
+    ranking with NDCG@k. Returns {"ndcg_degree", "ndcg_eigenvector"}.
+
+    ``method``: "degree" = degree-proportional sampler (baseline);
+    "kron" = fitted-initiator Kronecker completion (operators/kron.py,
+    the KronEM/KronGen twin the reference actually runs). Pass
+    ``complete=False`` for the degrade-only ablation."""
     from . import analytics
 
     kept, masked = mask_nodes(edges, fraction, seed)
-    scored = complete_graph(kept, masked, seed) if complete else kept
+    if not complete:
+        scored = kept
+    elif method == "kron":
+        from .kron import kron_complete_graph
+        scored = kron_complete_graph(kept, masked, seed)
+    else:
+        scored = complete_graph(kept, masked, seed)
+    # the centrality iterations below re-evaluate their input many
+    # times — cut the completion lineage once instead of paying the
+    # sampler joins/windows per power-iteration round
+    scored = scored.localCheckpoint()
     full_deg = analytics.degree_centrality(edges) \
         .select("node", F.col("centrality_micro").cast("double")
                 .alias("score"))
