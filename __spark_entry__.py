@@ -726,6 +726,82 @@ SQL_EIGEN = ("SELECT CAST(node AS BIGINT) AS node, "
              + ") AS t(node, score_e4)")
 
 
+# fixed 30-entity / 3-relation KG (ring, affine map, antipode):
+# distributed TransE training (operators/transe.py — the OpenKE-boundary
+# twin, map_queries.py:90-137) is bit-deterministic at any parallelism
+# (fixed-point integer gradient aggregation), so per-triple scores are
+# pinned as literals frozen from the train_transe_local twin — whose
+# trajectory identity with the distributed path is pytest-asserted
+# (tests/test_transe.py::test_distributed_matches_local_twin).
+_TRANSE_N_ENT, _TRANSE_N_REL = 30, 3
+_TRANSE_EPOCHS, _TRANSE_DIM, _TRANSE_LR = 25, 16, 0.5
+_TRANSE_PINNED = [
+    (0, 0, 1, 228550), (0, 1, 3, 213199), (0, 2, 15, 323835),
+    (1, 0, 2, 236678), (1, 1, 10, 219131), (1, 2, 16, 287047),
+    (2, 0, 3, 233765), (2, 1, 17, 230816), (2, 2, 17, 309953),
+    (3, 0, 4, 247853), (3, 1, 24, 233266), (3, 2, 18, 311354),
+    (4, 0, 5, 237498), (4, 1, 1, 236948), (4, 2, 19, 296195),
+    (5, 0, 6, 225914), (5, 1, 8, 223601), (5, 2, 20, 308854),
+    (6, 0, 7, 248279), (6, 1, 15, 224160), (6, 2, 21, 296731),
+    (7, 0, 8, 231311), (7, 1, 22, 231513), (7, 2, 22, 323424),
+    (8, 0, 9, 235739), (8, 1, 29, 227632), (8, 2, 23, 310676),
+    (9, 0, 10, 230618), (9, 1, 6, 218648), (9, 2, 24, 304873),
+    (10, 0, 11, 239046), (10, 1, 13, 230634), (10, 2, 25, 299671),
+    (11, 0, 12, 233305), (11, 1, 20, 224444), (11, 2, 26, 311465),
+    (12, 0, 13, 242373), (12, 1, 27, 230245), (12, 2, 27, 317099),
+    (13, 0, 14, 244976), (13, 1, 4, 221804), (13, 2, 28, 312112),
+    (14, 0, 15, 232673), (14, 1, 11, 212050), (14, 2, 29, 306859),
+    (15, 0, 16, 228138), (15, 1, 18, 245774), (15, 2, 0, 285040),
+    (16, 0, 17, 241156), (16, 1, 25, 224532), (16, 2, 1, 324041),
+    (17, 0, 18, 235648), (17, 1, 2, 237017), (17, 2, 2, 328414),
+    (18, 0, 19, 241229), (18, 1, 9, 223242), (18, 2, 3, 310005),
+    (19, 0, 20, 234779), (19, 1, 16, 224291), (19, 2, 4, 324005),
+    (20, 0, 21, 228540), (20, 1, 23, 228137), (20, 2, 5, 322024),
+    (21, 0, 22, 251367), (21, 1, 0, 243437), (21, 2, 6, 317198),
+    (22, 0, 23, 239239), (22, 1, 7, 239503), (22, 2, 7, 322945),
+    (23, 0, 24, 232264), (23, 1, 14, 239851), (23, 2, 8, 294227),
+    (24, 0, 25, 223421), (24, 1, 21, 216431), (24, 2, 9, 297639),
+    (25, 0, 26, 238720), (25, 1, 28, 232125), (25, 2, 10, 315539),
+    (26, 0, 27, 237262), (26, 1, 5, 221139), (26, 2, 11, 309359),
+    (27, 0, 28, 245012), (27, 1, 12, 241782), (27, 2, 12, 332130),
+    (28, 0, 29, 235513), (28, 1, 19, 222187), (28, 2, 13, 307832),
+    (29, 0, 0, 246390), (29, 1, 26, 226622), (29, 2, 14, 300771),
+]
+
+
+def _transe_fixture_edges():
+    n = _TRANSE_N_ENT
+    return ([(i, 0, (i + 1) % n) for i in range(n)]
+            + [(i, 1, (i * 7 + 3) % n) for i in range(n)]
+            + [(i, 2, (i + 15) % n) for i in range(n)])
+
+
+def q_transe_rank(spark, sf_dir):
+    """Distributed TransE training + triple scoring on the fixed KG
+    (sf-independent so the oracle can pin exact per-triple scores); the
+    quality/top-k behavior is pytest-covered (tests/test_transe.py)."""
+    from multivac_spark.operators import transe
+    edges = spark.createDataFrame(
+        [(h, t, r) for h, r, t in _transe_fixture_edges()],
+        "head_id long, tail_id long, rel_id long")
+    E, R = transe.train_transe(edges, _TRANSE_N_ENT, _TRANSE_N_REL,
+                               dim=_TRANSE_DIM, epochs=_TRANSE_EPOCHS,
+                               lr=_TRANSE_LR)
+    cand = spark.createDataFrame(
+        [(h, r, t) for h, r, t in _transe_fixture_edges()],
+        "head_id long, rel_id long, tail_id long")
+    return transe.score_triples(cand, E, R)
+
+
+SQL_TRANSE = ("SELECT CAST(h AS BIGINT) AS head_id, "
+              "CAST(r AS BIGINT) AS rel_id, "
+              "CAST(t AS BIGINT) AS tail_id, "
+              "CAST(s AS BIGINT) AS score_micro FROM (VALUES "
+              + ", ".join(f"({h}, {r}, {t}, {s})"
+                          for h, r, t, s in _TRANSE_PINNED)
+              + ") AS t(h, r, t, s)")
+
+
 def _rerank_e4(scored, k):
     """e4-granular rank (floor(micro/100) == floor(sim*1e4)): both
     engines rank on the same integers, dodging float-hash drift."""
@@ -1160,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "session_agg": q_session_agg,
         "textrank_rank": q_textrank_rank,
+        "transe_rank": q_transe_rank,
     }
 
 
@@ -1203,4 +1280,5 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction": SQL_LINKPRED,
         "session_agg": SQL_SESSION,
         "textrank_rank": SQL_TEXTRANK,
+        "transe_rank": SQL_TRANSE,
     }

@@ -419,7 +419,8 @@ def canonicalize_triples(triples: DataFrame,
 def cluster_entities(mentions: DataFrame, embeddings: DataFrame,
                      threshold: float = DEFAULT_THRESHOLD,
                      char_limit: int = CHAR_LIMIT,
-                     driver_fastpath_mentions: int = 200_000) -> DataFrame:
+                     driver_fastpath_mentions: int = 200_000,
+                     driver_fastpath_edges: int = 5_000_000) -> DataFrame:
     """End-to-end: mentions(mention) → (mention, label, rep).
 
     Two paths with identical algorithm (same planes, same banding, same
@@ -436,7 +437,10 @@ def cluster_entities(mentions: DataFrame, embeddings: DataFrame,
       were pure scheduling overhead at any cluster size, because the
       dictionary does not grow with the corpus.
     * **distributed path** otherwise: checkpointed mention embeddings,
-      banded-LSH similarity join, distributed/driver CC.
+      banded-LSH similarity join, distributed/driver CC
+      (``driver_fastpath_edges`` is passed through, so ``=0`` on both
+      knobs forces the fully distributed route end-to-end — the
+      bench_twins.py scale exercise).
     """
     n_mentions = mentions.count()
     if n_mentions <= driver_fastpath_mentions:
@@ -444,7 +448,8 @@ def cluster_entities(mentions: DataFrame, embeddings: DataFrame,
                                         char_limit)
     vecs = mention_embeddings(mentions, embeddings).localCheckpoint()
     edges = similarity_edges(vecs, threshold=threshold)
-    labels = connected_components(vecs.select("mention"), edges)
+    labels = connected_components(vecs.select("mention"), edges,
+                                  driver_fastpath_edges=driver_fastpath_edges)
     labels = refine_components(labels, vecs, threshold)
     return cluster_representatives(labels, char_limit=char_limit)
 
@@ -488,7 +493,6 @@ def _cluster_entities_driver(mentions: DataFrame, embeddings: DataFrame,
                              n_planes: int = 64, bands: int = 8,
                              max_bucket: int = 1000) -> DataFrame:
     """Driver-side kernel: identical semantics to the distributed path."""
-    import math
     from collections import defaultdict
 
     import pandas as pd
@@ -527,10 +531,6 @@ def _cluster_entities_driver(mentions: DataFrame, embeddings: DataFrame,
     bits = (Xn @ planes.T > 0)
     rows_per_band = n_planes // bands
 
-    p_diff = math.acos(1.0 - threshold) / math.pi
-    cut = int(n_planes * p_diff
-              + 2.5 * math.sqrt(n_planes * p_diff * (1 - p_diff)))
-
     # union-find
     parent = list(range(len(kept)))
 
@@ -565,9 +565,11 @@ def _cluster_entities_driver(mentions: DataFrame, embeddings: DataFrame,
                 start = e
 
     # per bucket: ONE cosine matmul (≤ max_bucket² × dim flops), then
-    # union every pair within the distance threshold — the Hamming
-    # prefilter is unnecessary on the driver where the matmul is BLAS.
-    del cut
+    # union every pair within the distance threshold. The distributed
+    # path's Hamming prefilter (`cut`) is deliberately NOT applied here:
+    # on the driver the exact matmul is BLAS-cheap, and skipping the
+    # prefilter means the driver path's recall is a superset — parity
+    # with the distributed path is pinned by test instead.
     for members in buckets.values():
         if len(members) > max_bucket:
             continue
