@@ -71,10 +71,17 @@ def eigenvector_centrality(edges: DataFrame, max_iter: int = 30,
     unit-norm, so ‖x_new − x_prev‖₂ = √(2 − 2·dot/√s2). Convergence
     uses the L2 bound √n·‖Δ‖₂ < n·tol (nx checks L1 < n·tol; L1 ≤
     √n·L2, so this is the conservative side of the same criterion).
-    Lineage is cut by a localCheckpoint every ``checkpoint_every``
-    rounds — 1 job/iter + 1 every k, down from 3/iter."""
-    sym = _sym(edges, src, dst).localCheckpoint()
-    nodes = sym.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    Lineage (and carried join statistics) is cut by a stats_barrier
+    every ``checkpoint_every`` rounds — 1 job/iter + 1 every k, down
+    from 3/iter."""
+    from ..session import stats_barrier
+
+    # stats_barrier, not bare localCheckpoint: the iteration joins the
+    # score frame against sym and itself, so carried origin statistics
+    # (potentially already huge if `edges` came out of the CC stage)
+    # would compound every round — see stats_barrier docstring.
+    sym = stats_barrier(_sym(edges, src, dst))
+    nodes = stats_barrier(sym.select(F.col("u").alias("node")).distinct())
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("score", F.lit(0.0))
@@ -107,7 +114,7 @@ def eigenvector_centrality(edges: DataFrame, max_iter: int = 30,
             x = nxt.select("node", (F.col("raw") / norm).alias("score"))
             it_total += 1
             if it_total % checkpoint_every == 0:
-                x = x.localCheckpoint()
+                x = stats_barrier(x)
             delta_l2 = max(0.0, 2.0 - 2.0 * cos) ** 0.5
             if delta_l2 * n ** 0.5 < n * current_tol:
                 return x

@@ -325,12 +325,17 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                 .join(F.broadcast(map_df), key, "left")
                 .select(F.col(key),
                         F.coalesce("_cc_label", F.col(key)).alias("label")))
-    sym = (edges.select("src", "dst")
-           .union(edges.select(F.col("dst").alias("src"),
-                               F.col("src").alias("dst")))
-           .localCheckpoint())
-    labels = (vertices.select(F.col(key), F.col(key).alias("label"))
-              .localCheckpoint())
+    from ..session import stats_barrier
+
+    # stats_barrier, not bare localCheckpoint: the loop joins the label
+    # frame against itself, so carried origin statistics would square
+    # every round (BigInt blow-up — see stats_barrier docstring).
+    sym = stats_barrier(
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst"))))
+    labels = stats_barrier(
+        vertices.select(F.col(key), F.col(key).alias("label")))
 
     from pyspark.sql import Observation
 
@@ -352,18 +357,19 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
         jump = stepped.select(F.col(key).alias("_jk"),
                               F.col("label").alias("_jl"))
         # convergence probe rides the SAME pass as the label update via
-        # observe(): the localCheckpoint job both materializes the new
-        # labels and emits sum(label != old) — 1 job/round, not 3
+        # observe(): the materialization job inside stats_barrier both
+        # checkpoints the new labels and emits sum(label != old) —
+        # 1 job/round, not 3
         obs = Observation(f"cc_changed_{i}")
-        new = (stepped.join(jump, stepped.label == jump._jk, "left")
-               .select(F.col(key),
-                       F.least(F.col("label"),
-                               F.coalesce("_jl", "label")).alias("label"),
-                       F.col("_old"))
-               .observe(obs, F.sum((F.col("label") != F.col("_old"))
-                                   .cast("long")).alias("changed"))
-               .drop("_old")
-               .localCheckpoint())
+        new = stats_barrier(
+            stepped.join(jump, stepped.label == jump._jk, "left")
+            .select(F.col(key),
+                    F.least(F.col("label"),
+                            F.coalesce("_jl", "label")).alias("label"),
+                    F.col("_old"))
+            .observe(obs, F.sum((F.col("label") != F.col("_old"))
+                                .cast("long")).alias("changed"))
+            .drop("_old"))
         labels = new
         if (obs.get["changed"] or 0) == 0:
             return labels

@@ -302,6 +302,20 @@ def topk_tails(queries: DataFrame, E: np.ndarray, R: np.ndarray,
     all n_ent tails with one BLAS matmul against the broadcast entity
     matrix; only k rows per query survive the kernel, so nothing
     entity-dictionary-sized is ever shuffled."""
+    return _topk_entities(queries, E, R, k, known="head_id",
+                          out="tail_id")
+
+
+def topk_heads(queries: DataFrame, E: np.ndarray, R: np.ndarray,
+               k: int = 10) -> DataFrame:
+    """queries(tail_id, rel_id) → top-k (head_id, rank, score_micro) —
+    the ``predict_head_entity`` analog: d(e) = ‖e − (t − r)‖."""
+    return _topk_entities(queries, E, R, k, known="tail_id",
+                          out="head_id")
+
+
+def _topk_entities(queries: DataFrame, E: np.ndarray, R: np.ndarray,
+                   k: int, known: str, out: str) -> DataFrame:
     import pandas as pd
 
     sc = queries.sparkSession.sparkContext
@@ -311,9 +325,11 @@ def topk_tails(queries: DataFrame, E: np.ndarray, R: np.ndarray,
         Eb, Rb = bc.value
         sq_norms = (Eb ** 2).sum(axis=1)
         for pdf in batches:
-            h = pdf["head_id"].to_numpy(dtype=np.int64)
+            h = pdf[known].to_numpy(dtype=np.int64)
             r = pdf["rel_id"].to_numpy(dtype=np.int64)
-            q = Eb[h] + Rb[r]                       # (b, dim)
+            # tail query: q = h + r (rank t by ‖q − t‖);
+            # head query:  q = t − r (rank h by ‖h − q‖) — symmetric.
+            q = Eb[h] + Rb[r] if out == "tail_id" else Eb[h] - Rb[r]
             # ‖q − e‖² = ‖q‖² − 2 q·e + ‖e‖², argpartition for top-k
             d2 = ((q ** 2).sum(axis=1)[:, None]
                   - 2.0 * (q @ Eb.T) + sq_norms[None, :])
@@ -333,15 +349,87 @@ def topk_tails(queries: DataFrame, E: np.ndarray, R: np.ndarray,
                     rows_s.append(int(np.floor(
                         1_000_000.0 / (1.0 + dd[j]))))
             yield pd.DataFrame({
-                "head_id": np.array(rows_h, dtype=np.int64),
+                known: np.array(rows_h, dtype=np.int64),
                 "rel_id": np.array(rows_r, dtype=np.int64),
-                "tail_id": np.array(rows_t, dtype=np.int64),
+                out: np.array(rows_t, dtype=np.int64),
                 "rank": np.array(rows_rank, dtype=np.int64),
                 "score_micro": np.array(rows_s, dtype=np.int64)})
 
     return queries.mapInPandas(
-        kernel, schema=("head_id long, rel_id long, tail_id long, "
+        kernel, schema=(f"{known} long, rel_id long, {out} long, "
                         "rank long, score_micro long"))
+
+
+def predict_completions_transe(final_triples: DataFrame,
+                               candidates: DataFrame,
+                               dim: int = DEFAULT_DIM,
+                               epochs: int = 30,
+                               lr: float = DEFAULT_LR,
+                               k: int = 10,
+                               threshold: float = 0.1,
+                               sample_frac: float = 1.0) -> DataFrame:
+    """Trained-model edition of ``linkpred.predict_completions`` — the
+    reference's actual method (map_queries.py:112-137 ranks candidate
+    entities with the OpenKE TransE model, then ``predict_triple``
+    zeroes scores below 0.1).
+
+    candidates(query_id, head, pred, tail) with exactly one of
+    head/tail null → (query_id, head, pred, answer, slot, rank,
+    score_micro). Entity/relation ids come from the canonical graph
+    dictionaries (bounded by reference design), training runs the
+    distributed epoch loop, and ranking runs the broadcast top-k
+    kernel; anchors missing from the dictionaries drop out via the
+    inner id-joins, like the reference's dictionary misses."""
+    from .materialize import build_graph_tables
+
+    g = build_graph_tables(final_triples)
+    entities = g["entities"].localCheckpoint()
+    relations = g["relations"].localCheckpoint()
+    edges = g["edges"].localCheckpoint()
+    n_ent = entities.count()
+    n_rel = relations.count()
+    E, R = train_transe(edges, n_ent, n_rel, dim=dim, epochs=epochs,
+                        lr=lr, sample_frac=sample_frac)
+
+    candidates = candidates.filter(
+        ~(F.col("head").isNull() & F.col("tail").isNull()))
+    ent_b = F.broadcast(entities)
+    rel_b = F.broadcast(relations)
+    ans = ent_b.select(F.col("entity_id").alias("_aid"),
+                       F.col("entity").alias("answer"))
+    zeroed = F.when(
+        F.col("score_micro") < int(threshold * 1_000_000),
+        F.lit(0)).otherwise(F.col("score_micro"))
+
+    def side(known_col: str, topk_fn, known_id: str, out_id: str,
+             slot: str) -> DataFrame:
+        known = (candidates
+                 .filter(F.col(known_col).isNotNull()
+                         & F.col("tail" if known_col == "head"
+                                 else "head").isNull())
+                 .select("query_id", F.col(known_col).alias("known"),
+                         "pred"))
+        ids = (known
+               .join(ent_b.withColumnRenamed("entity", "known")
+                     .withColumnRenamed("entity_id", known_id), "known")
+               .join(rel_b.withColumnRenamed("rel", "pred"), "pred"))
+        # top-k per DISTINCT (known_id, rel_id), joined back so
+        # query_id never rides through the Arrow kernel
+        uniq = ids.select(known_id, "rel_id").distinct()
+        top = topk_fn(uniq, E, R, k=k)
+        return (ids.join(top, [known_id, "rel_id"])
+                .join(ans, F.col(out_id) == F.col("_aid"))
+                .select("query_id",
+                        F.col("known").alias("head"),
+                        "pred", "answer",
+                        F.lit(slot).alias("slot"), "rank",
+                        zeroed.cast("long").alias("score_micro")))
+
+    tails = side("head", topk_tails, "head_id", "tail_id",
+                 "imputed_tail")
+    heads = side("tail", topk_heads, "tail_id", "head_id",
+                 "imputed_head")
+    return tails.unionByName(heads)
 
 
 def embeddings_df(spark, E: np.ndarray, kind: str = "entity") -> DataFrame:

@@ -56,3 +56,43 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def stats_barrier(df):
+    """Materialize ``df`` (localCheckpoint) and rebuild it as a fresh
+    scan with default statistics — the lineage cut for iterative
+    self-join loops.
+
+    Why plain ``localCheckpoint`` is not enough: Catalyst's
+    size-only estimator (``SizeInBytesOnlyStatsPlanVisitor.visitJoin``)
+    sets a join's ``sizeInBytes`` to the PRODUCT of its children's
+    sizes, and since SPARK-39748 a checkpointed ``LogicalRDD`` carries
+    the origin plan's statistics forward. In a loop whose state frame
+    is joined against itself (pointer-doubling connected components,
+    power iteration), the carried BigInt therefore at least squares
+    every round — measured: 54 → 10,249 bits in 8 rounds WITH a
+    per-round localCheckpoint — until the driver serializes every
+    stats lookup on one core inside ``BigInteger.multiplyToomCook3``
+    over numbers with millions of digits (the 40-minute "idle
+    executors, one pegged JVM core" failure mode).
+
+    The rebuild goes through ``SparkSession.internalCreateDataFrame``
+    on the checkpointed plan's ``InternalRow`` RDD — zero-copy, fully
+    JVM-side — with a ``createDataFrame(JavaRDD[Row], schema)``
+    fallback if the package-private method is unavailable. The new
+    scan reports ``spark.sql.defaultSizeInBytes`` (effectively
+    "huge"), so a barrier'd frame is never auto-broadcast: loop-state
+    frames are probe sides, which is the safe direction; broadcast
+    anything downstream explicitly.
+    """
+    from pyspark.sql import DataFrame
+
+    spark = df.sparkSession
+    ck = df.localCheckpoint()
+    jspark = spark._jsparkSession
+    try:
+        jdf = jspark.internalCreateDataFrame(
+            ck._jdf.queryExecution().toRdd(), ck._jdf.schema(), False)
+    except Exception:  # pragma: no cover - py4j visibility fallback
+        jdf = jspark.createDataFrame(ck._jdf.javaRDD(), ck._jdf.schema())
+    return DataFrame(jdf, spark)

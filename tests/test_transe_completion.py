@@ -1,0 +1,96 @@
+"""TransE-backed query completion (map_queries.py:112-137 twin with a
+trained model instead of the frequency+cosine stand-in)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from multivac_spark.operators import transe
+
+
+def _string_kg(spark):
+    """Small canonical KG with learnable structure: each 'cityN'
+    located_in 'regionN%5' (consistent translation per relation)."""
+    rows = []
+    for i in range(20):
+        rows.append((f"city{i:02d}", "located_in", f"region{i % 5}"))
+        rows.append((f"city{i:02d}", "linked_to", f"city{(i + 1) % 20:02d}"))
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_predict_completions_transe_shapes_and_ranks(spark):
+    kg = _string_kg(spark)
+    cand = spark.createDataFrame(
+        [("q0", "city03", "located_in", None),
+         ("q1", None, "located_in", "region2"),
+         ("q2", None, "nosuchrel", "region2"),   # unknown rel → drops
+         ("q3", None, "located_in", None)],      # both null → dropped
+        "query_id string, head string, pred string, tail string")
+    res = transe.predict_completions_transe(
+        kg, cand, dim=16, epochs=40, lr=0.5, k=5).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # q3 (both null) and q2 (unknown relation) produce no rows
+    assert "q3" not in by_q and "q2" not in by_q
+    # q0: tail imputation — 5 ranked candidates, anchor preserved
+    q0 = sorted(by_q["q0"], key=lambda r: r["rank"])
+    assert len(q0) == 5
+    assert all(r["slot"] == "imputed_tail" and r["head"] == "city03"
+               for r in q0)
+    assert [r["rank"] for r in q0] == [1, 2, 3, 4, 5]
+    # q1: head imputation — anchor column carries the KNOWN value
+    q1 = by_q["q1"]
+    assert all(r["slot"] == "imputed_head" and r["head"] == "region2"
+               for r in q1)
+    assert len(q1) == 5
+    # scores are either 0 (zeroed below threshold) or ≥ threshold
+    for r in res:
+        assert r["score_micro"] == 0 or r["score_micro"] >= 100_000
+
+
+def test_transe_completion_beats_random_rank(spark):
+    """The trained model should rank the TRUE tail of a training triple
+    above the median candidate (sanity that ranking uses the trained
+    geometry, not noise)."""
+    kg = _string_kg(spark)
+    cand = spark.createDataFrame(
+        [(f"q{i}", f"city{i:02d}", "located_in", None) for i in range(10)],
+        "query_id string, head string, pred string, tail string")
+    res = transe.predict_completions_transe(
+        kg, cand, dim=16, epochs=80, lr=0.5, k=25).collect()
+    # true answer for cityN is region(N%5); find its rank per query
+    ranks = []
+    for r in res:
+        i = int(r["head"][4:])
+        if r["answer"] == f"region{i % 5}":
+            ranks.append(r["rank"])
+    assert ranks, "true tails never appeared in top-k"
+    # 25 entities ranked; random median rank ≈ 12.5 — trained must be
+    # clearly better on average
+    assert float(np.mean(ranks)) <= 8.0, ranks
+
+
+def test_topk_heads_matches_bruteforce(spark):
+    n_ent, n_rel = 30, 3
+    edges = []
+    for i in range(n_ent):
+        edges.append((i, 0, (i + 1) % n_ent))
+        edges.append((i, 1, (i * 7 + 3) % n_ent))
+        edges.append((i, 2, (i + 15) % n_ent))
+    E, R = transe.train_transe_local(np.array(edges, dtype=np.int64),
+                                     n_ent, n_rel, dim=8, epochs=10,
+                                     lr=0.5)
+    queries = spark.createDataFrame(
+        [(t, t % n_rel) for t in range(6)], "tail_id long, rel_id long")
+    got = transe.topk_heads(queries, E, R, k=4).collect()
+    by_q = {}
+    for row in got:
+        by_q.setdefault((row["tail_id"], row["rel_id"]), []).append(
+            (row["rank"], row["head_id"]))
+    assert len(by_q) == 6
+    for (t, r), rows in by_q.items():
+        d = np.linalg.norm(E + R[r] - E[t], axis=1)
+        order = np.lexsort((np.arange(n_ent), d))[:4]
+        rows.sort()
+        assert [h for _, h in rows] == [int(x) for x in order]
