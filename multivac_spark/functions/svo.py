@@ -92,9 +92,17 @@ def _prune_contained(groups: list[list[int]]) -> list[list[int]]:
     return [g for g in gs if g]
 
 
-def extract_svo(tokens: list[dict]) -> list[tuple[int, str, str, str]]:
+def extract_svo(tokens: list[dict],
+                mentions: list[tuple[int, int]] | None = None
+                ) -> list[tuple[int, str, str, str]]:
     """One parsed sentence → [(rdf_idx, subj, pred, obj)] with all three
-    parts non-empty (the empty-part filter, rdf_graph.py:344-348)."""
+    parts non-empty (the empty-part filter, rdf_graph.py:344-348).
+
+    ``mentions``: optional [(tokenBegin, tokenEnd)] entity spans; when
+    given, each RDF node's token list is widened over overlapping
+    mentions before stringification — the reference's ``expand_rdfs``
+    placement (rdf_parse.py:214-226 runs over ``self.rdfs`` before
+    ``get_rdfs``)."""
     if not tokens:
         return []
     kids = _children_index(tokens)
@@ -167,6 +175,9 @@ def extract_svo(tokens: list[dict]) -> list[tuple[int, str, str, str]]:
                 ensure(idx)
             rdfs[idx]["relation"] = by_i(g)
 
+    if mentions:
+        rdfs = expand_rdf_groups(rdfs, mentions)
+
     out: list[tuple[int, str, str, str]] = []
     for idx in sorted(rdfs):
         parts = rdfs[idx]
@@ -203,18 +214,36 @@ def expand_rdf_groups(groups: dict[int, dict[str, list[int]]],
     return out
 
 
-def extract_triples_stage(sentences_df):
+def extract_triples_stage(sentences_df, mention_source: str | None = None,
+                          gazetteer: dict[str, str] | None = None):
     """sentences(url, sent_id, text, tokens) → raw_triples(url, sent_id,
-    rdf_idx, subj, pred, obj)."""
+    rdf_idx, subj, pred, obj).
+
+    ``mention_source``: None (reference default — ``expand_rdfs`` is
+    declared but never called, rdf_parse.py:214), ``"ner"`` (rule-NER
+    entitymentions twin, functions/ner.py), or ``"chunks"`` (NP-chunk
+    inventory). When set, each sentence's RDF nodes are widened over
+    overlapping mention spans before stringification."""
+    if mention_source not in (None, "ner", "chunks"):
+        raise ValueError(f"unknown mention_source: {mention_source!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if mention_source:
+            from .ner import chunk_mentions, entity_mentions
+            if mention_source == "ner":
+                mention_fn = lambda tl: entity_mentions(tl, gazetteer)
+            else:
+                mention_fn = chunk_mentions
         for pdf in batches:
             rows = {"url": [], "sent_id": [], "rdf_idx": [],
                     "subj": [], "pred": [], "obj": []}
             for url, sid, toks in zip(pdf["url"], pdf["sent_id"],
                                       pdf["tokens"]):
                 tl = [dict(t) for t in toks]
-                for idx, s, p, o in extract_svo(tl):
+                spans = None
+                if mention_source:
+                    spans = [(b, e) for b, e, _ in mention_fn(tl)]
+                for idx, s, p, o in extract_svo(tl, mentions=spans):
                     rows["url"].append(url)
                     rows["sent_id"].append(int(sid))
                     rows["rdf_idx"].append(idx)

@@ -42,6 +42,13 @@ class PipelineConfig:
     # twin (fused, default); 'textacy' = the Phase-II RDFExtractor twin
     # (rdf_extract.py:767-833, functions/svo_textacy.py)
     extractor: str = "rdf_parse"
+    # optional expand_rdfs mention widening (rdf_parse.py:214-226 —
+    # declared in the reference but never called, so off by default):
+    # 'ner' = rule-NER entitymentions twin, 'chunks' = NP-chunk
+    # inventory. Takes the staged extraction route, like coref.
+    expand_mentions: str | None = None
+    # RegexNER-style gazetteer (term → label) for expand_mentions='ner'
+    gazetteer: dict | None = None
 
 
 def default_lexicons() -> tuple[dict[str, str], dict[str, str]]:
@@ -114,8 +121,10 @@ def run_pipeline(spark: SparkSession,
     if cfg.extractor == "textacy":
         from ..functions.svo_textacy import extract_triples_textacy_stage
         raw_triples = extract_triples_textacy_stage(sentences)
-    elif cfg.coref:
-        raw_triples = extract_triples_stage(sentences)
+    elif cfg.coref or cfg.expand_mentions:
+        raw_triples = extract_triples_stage(
+            sentences, mention_source=cfg.expand_mentions,
+            gazetteer=cfg.gazetteer)
     else:
         raw_triples = fused_extract_stage(documents, lex, lemmas,
                                           cfg.lang_filter)
