@@ -695,6 +695,59 @@ SQL_KG_COREF = (f"SELECT CAST({KG_COREF_N} AS BIGINT) AS n_triples, "
                 f"'{KG_COREF_HASH}' AS set_hash")
 
 
+# incremental KG maintenance (streaming/kg_update.py): the query runs
+# the STREAMING flow — 2-drain AvailableNow ingest + foreachBatch count
+# merge — over a 60/40 split of the same 100-doc corpus; the oracle
+# VALUES below are frozen from the BATCH recount path (fused extract →
+# explode subj+obj → groupBy count → top-10), i.e. computed by
+# machinery independent of the streaming code under test. Equality
+# proves exactly-once across drains: any double-merged or dropped file
+# shifts a count.
+_INC_COUNTS_GOLD = [
+    ("virus", 125), ("cell", 51), ("protein", 33), ("genome", 30),
+    ("virusoid", 24), ("virusal", 23), ("antibody", 20),
+    ("pathogen", 19), ("viruses", 14), ("enzyme", 13),
+]
+
+
+def q_kg_incremental_counts(spark, sf_dir):
+    """two-drain incremental ingest + count-merge of the 100-doc
+    corpus → top-10 entity counts (streaming/kg_update.py); must equal
+    the batch recount goldens."""
+    import tempfile
+
+    from multivac_spark.plans.pipeline import default_lexicons
+    from multivac_spark.sources import corpus, vocab
+    from multivac_spark.streaming.ingest import ingest_available_now
+    from multivac_spark.streaming.kg_update import (
+        counts_update_available_now, read_counts, top_from_counts)
+
+    lex, lemmas = default_lexicons()
+    vl = vocab.verb_lemma_table()
+    all_docs = corpus.documents_df(spark, 100, partitions=4)
+    first = corpus.documents_df(spark, 60, partitions=4)
+    with tempfile.TemporaryDirectory() as d:
+        docs_dir, counts_dir = f"{d}/docs", f"{d}/counts"
+        for batch in (first, all_docs.subtract(first)):
+            batch.write.mode("append").parquet(docs_dir)
+            ingest_available_now(spark, docs_dir, f"{d}/triples",
+                                 f"{d}/ckpt_i", lex, lemmas,
+                                 normalize=True, verb_lemmas=vl)
+            counts_update_available_now(spark, f"{d}/triples",
+                                        counts_dir, f"{d}/ckpt_c")
+        top = top_from_counts(
+            read_counts(spark, counts_dir, "entities"), "mention", 10)
+        # localCheckpoint: the tmp dir dies with the `with` block, so
+        # materialize before leaving it
+        return top.localCheckpoint()
+
+
+SQL_INC_COUNTS = ("SELECT * FROM (VALUES "
+                  + ", ".join(f"('{m}', CAST({c} AS BIGINT))"
+                              for m, c in _INC_COUNTS_GOLD)
+                  + ") AS t(mention, cnt)")
+
+
 # fixed 50-node graph (ring + 3i+7 chords): eigenvector scores pinned
 # against an independent numpy power-iteration twin with identical
 # update/convergence arithmetic; e4 values verified ≥4e-6 away from
@@ -1227,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline_synth": q_kg_pipeline_synth,
         "kg_pipeline_textacy": q_kg_pipeline_textacy,
         "kg_pipeline_coref": q_kg_pipeline_coref,
+        "kg_incremental_counts": q_kg_incremental_counts,
         "kron_fit": q_kron_fit,
         "eigenvector_centrality": q_eigenvector_centrality,
         "ann_lsh": q_ann_lsh,
@@ -1271,6 +1325,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pipeline_synth": SQL_KG_SYNTH,
         "kg_pipeline_textacy": SQL_KG_TEXTACY,
         "kg_pipeline_coref": SQL_KG_COREF,
+        "kg_incremental_counts": SQL_INC_COUNTS,
         "kron_fit": SQL_KRON_FIT,
         "eigenvector_centrality": SQL_EIGEN,
         "ann_lsh": _ann_lsh_sql(),

@@ -28,7 +28,9 @@ def ingest_available_now(spark: SparkSession,
                          checkpoint_dir: str,
                          lexicon: dict[str, str],
                          lemmas: dict[str, str],
-                         lang_filter: str | None = "en") -> int:
+                         lang_filter: str | None = "en",
+                         normalize: bool = False,
+                         verb_lemmas: dict[str, str] | None = None) -> int:
     """Drain all unprocessed document parquet files from ``docs_dir``
     into a raw-triples table at ``out_dir``. Returns rows appended in
     this invocation (file-level exactly-once via the checkpoint).
@@ -46,7 +48,9 @@ def ingest_available_now(spark: SparkSession,
               .option("maxFilesPerTrigger", 64)
               .parquet(docs_dir))
 
-    triples = fused_extract_stage(stream, lexicon, lemmas, lang_filter) \
+    triples = fused_extract_stage(stream, lexicon, lemmas, lang_filter,
+                                  normalize=normalize,
+                                  verb_lemmas=verb_lemmas) \
         .observe("ingest_metrics", F.count(F.lit(1)).alias("rows"))
 
     query = (triples.writeStream
