@@ -344,6 +344,42 @@ FROM db FULL OUTER JOIN da ON db.u = da.u
 """
 
 
+def q_top_triples_by_gain(spark, sf_dir):
+    """key-triple scoring: score(edge) = gain(head) + gain(tail), top-25
+    (get_top_triples, calculate_network_change.py:81-133) over the
+    lineitem bipartite graph with the same before/after degree gains as
+    `centrality_delta`. Gains are fed in exact micro-units (integers
+    carried in doubles) so the summed score hashes identically across
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    # one edge per (head, tail) with rel_id = min linenumber: the
+    # operator tie-breaks the top-k on (score, head, tail) only, so
+    # duplicate pairs with equal score would make the k-cut ambiguous
+    edges = (li.groupBy(F.col("l_partkey").alias("head_id"),
+                        (F.col("l_suppkey") + 10_000_000).alias("tail_id"))
+             .agg(F.min("l_linenumber").alias("rel_id")))
+    gains = q_centrality_delta(spark, sf_dir).select(
+        "node", F.col("gain_micro").cast("double").alias("gain"))
+    top = analytics.top_triples_by_gain(edges, gains, k=25)
+    return top.select("head_id", "tail_id", "rel_id",
+                      F.col("score").cast("long").alias("score_micro"))
+
+
+SQL_TOP_GAIN = """
+WITH g AS (""" + SQL_DELTA + """),
+e AS (SELECT l_partkey AS head_id,
+             l_suppkey + 10000000 AS tail_id,
+             min(l_linenumber) AS rel_id
+      FROM lineitem GROUP BY 1, 2)
+SELECT e.head_id, e.tail_id, e.rel_id,
+       CAST(gh.gain_micro + gt.gain_micro AS BIGINT) AS score_micro
+FROM e JOIN g gh ON e.head_id = gh.node
+       JOIN g gt ON e.tail_id = gt.node
+ORDER BY score_micro DESC, e.head_id ASC, e.tail_id ASC
+LIMIT 25
+"""
+
+
 def q_token_count(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -514,6 +550,56 @@ SELECT a, b,
                  / len(list_distinct({sh('ta')} || {sh('tb')}))) END
             AS BIGINT) AS jaccard_e4
 FROM pairs
+"""
+
+
+def q_query_match(spark, sf_dir):
+    """cosine theta-join of the query-mapping path (get_answers,
+    map_queries.py:153-226) — the REAL query.match_parts operator
+    (mention_embeddings → broadcast crossJoin → cosine ≥ threshold →
+    per-part best with (sim desc, entity asc) tie-break) driven over
+    the driver embeddings table: vec_id<8 act as single-token query
+    parts, vec_id≥8 as candidate entities, so the DuckDB twin can
+    replay the whole match in SQL."""
+    from multivac_spark.operators import query as qops
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tok = emb.filter("vec_id < 8").select(
+        F.concat(F.lit("t"), F.col("vec_id")).alias("token"),
+        F.col("embedding").alias("vector"))
+    parts = emb.filter("vec_id < 8").select(
+        F.concat(F.lit("t"), F.col("vec_id")).alias("q_part"))
+    entity_vecs = emb.filter("vec_id >= 8").select(
+        F.concat(F.lit("e"), F.col("vec_id")).alias("mention"),
+        F.col("embedding").alias("vector"))
+    m = qops.match_parts(parts, tok, entity_vecs, "q_part", threshold=0.0)
+    return m.select("part", "entity",
+                    F.floor(F.col("sim") * 1_000_000)
+                    .cast("long").alias("sim_e6"))
+
+
+def _dot64(a: str, b: str) -> str:
+    return (f"list_sum(list_transform(range(1, 65), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+
+
+SQL_QUERY_MATCH = f"""
+WITH q AS (SELECT 't' || vec_id AS part, embedding FROM embeddings
+           WHERE vec_id < 8),
+e AS (SELECT 'e' || vec_id AS entity, embedding FROM embeddings
+      WHERE vec_id >= 8),
+s AS (SELECT q.part, e.entity,
+             {_dot64('q.embedding', 'e.embedding')}
+             / (sqrt({_dot64('q.embedding', 'q.embedding')})
+                * sqrt({_dot64('e.embedding', 'e.embedding')})) AS sim
+      FROM q CROSS JOIN e),
+r AS (SELECT part, entity, sim,
+             row_number() OVER (PARTITION BY part
+                                ORDER BY sim DESC, entity ASC) AS rn
+      FROM s WHERE sim >= 0.0)
+SELECT part, entity,
+       CAST(floor(sim * 1000000) AS BIGINT) AS sim_e6
+FROM r WHERE rn = 1
 """
 
 
@@ -1270,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "degree_centrality": q_degree_centrality,
         "centrality_delta": q_centrality_delta,
+        "top_triples_by_gain": q_top_triples_by_gain,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "langid": q_langid,
@@ -1278,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "query_match": q_query_match,
         "ann_topk": q_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "cleaner_regex": q_cleaner_regex,
@@ -1315,6 +1403,7 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": SQL_SET_OPS,
         "degree_centrality": SQL_DEGREE,
         "centrality_delta": SQL_DELTA,
+        "top_triples_by_gain": SQL_TOP_GAIN,
         "token_count": SQL_TOKEN_COUNT,
         "quality_score": SQL_QUALITY,
         "langid": _langid_sql(),
@@ -1323,6 +1412,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": _minhash_sql(),
         "simhash": _simhash_sql(),
         "ngram_jaccard": _jaccard_sql(),
+        "query_match": SQL_QUERY_MATCH,
         "ann_topk": SQL_ANN,
         "embedding_near_dups": SQL_NEAR_DUPS,
         "cleaner_regex": SQL_CLEANER,
