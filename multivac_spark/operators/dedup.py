@@ -74,8 +74,12 @@ def minhash_signatures_agg(df: DataFrame, text_col: str = "text",
     ``minhash_signature`` but flat-expression (nested higher-order
     functions over 4 copies of the shingle array fall out of whole-stage
     codegen; this shape stays in it — ~15× faster at 60k docs)."""
+    # array_distinct before explode: min() is duplicate-invariant, so
+    # the signature is identical while repeated shingles (common in
+    # boilerplate-heavy web text) skip their k md5 evaluations
     sh = df.select(F.col(id_col),
-                   F.explode(shingles(F.col(text_col), n)).alias("s"))
+                   F.explode(F.array_distinct(
+                       shingles(F.col(text_col), n))).alias("s"))
     aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))))
             .alias(f"mh{i}") for i in range(k)]
     agg = sh.groupBy(id_col).agg(*aggs)
@@ -91,10 +95,15 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
     """MinHash-LSH candidate pairs: docs sharing any band bucket.
     Band-bucket equi-join (shuffle on band key) — never all-pairs."""
     sigs = minhash_signatures_agg(df, text_col, id_col, k=bands * rows, n=n)
+    # materialize the banded keys ONCE: the two branches of the lazy
+    # self-join would otherwise each recompute the whole signature
+    # pipeline (shingle + k·md5 + min-agg). At cluster scale this is
+    # the staged signature table.
     banded = (sigs.select(id_col,
                           F.posexplode(minhash_band_keys(F.col("sig"),
                                                          bands, rows))
-                          .alias("band", "bkey")))
+                          .alias("band", "bkey"))
+              .localCheckpoint())
     a = banded.select(F.col(id_col).alias("a"), "band", "bkey")
     b = banded.select(F.col(id_col).alias("b"), "band", "bkey")
     return (a.join(b, ["band", "bkey"])
