@@ -1,0 +1,224 @@
+"""PDF / PubMed-JATS / GROBID-TEI ingest twins (sources/pdftext.py,
+sources/pubmed.py, sources/grobid.py) — the reference's parse_pdf,
+parse_pubmed, and grobid_client surfaces (process.py:124-162,
+extract_text.py:55-199)."""
+
+import http.server
+import threading
+
+import pytest
+
+from multivac_spark.sources.grobid import (GrobidClient, tei_fields_stage,
+                                           tei_to_fields)
+from multivac_spark.sources.pdftext import (make_pdf, pdf_pages_text,
+                                            pdf_text_stage, pdf_to_text,
+                                            postprocess_pdf_text)
+from multivac_spark.sources.pubmed import (parse_pubmed_meta,
+                                           parse_pubmed_paragraphs,
+                                           parse_pubmed_text,
+                                           pubmed_text_stage)
+
+
+# --- PDF --------------------------------------------------------------------
+
+def _ref_parse_pdf_chain(pages):
+    """Transcribed reference post-processing (process.py:142-148)."""
+    doc = " ".join([" ".join(x.split()) for x in pages])
+    return (doc.split(" Abstract ")[-1]
+               .split(" Acknowledgments ")[0]
+               .split(" ∗ ∗ ∗ ")[0]
+               .strip())
+
+
+def test_pdf_roundtrip_compressed_and_raw():
+    pages = ["Title page. Abstract We study things.\nSecond line.",
+             "Body with (parens), \\backslash and 50% marks.",
+             "The end. Acknowledgments Thanks all."]
+    for compress in (True, False):
+        data = make_pdf(pages, compress=compress)
+        got_pages = pdf_pages_text(data)
+        assert len(got_pages) == 3
+        # word content preserved per page
+        for want, got in zip(pages, got_pages):
+            assert " ".join(want.split()) == " ".join(got.split())
+        assert pdf_to_text(data) == _ref_parse_pdf_chain(pages)
+        assert "Acknowledgments" not in pdf_to_text(data)
+        assert pdf_to_text(data).startswith("We study things.")
+
+
+def test_pdf_postprocess_chain_is_reference_exact():
+    cases = [
+        ["no markers"],
+        ["x Abstract y", "z"],
+        ["a ∗ ∗ ∗ b"],
+        ["keep Abstract mid Abstract last part"],  # [-1] takes the LAST
+        ["w Acknowledgments x Acknowledgments y"],  # [0] takes the first
+    ]
+    for pages in cases:
+        assert postprocess_pdf_text(pages) == _ref_parse_pdf_chain(pages)
+
+
+def test_pdf_failures_return_none():
+    assert pdf_to_text(b"not a pdf") is None
+    assert pdf_to_text(b"%PDF-1.4 truncated garbage") is None
+    enc = make_pdf(["x"]).replace(b"/Root", b"/Encrypt 9 0 R /Root")
+    assert pdf_to_text(enc) is None
+
+
+def test_pdf_stage_with_row_isolation(spark):
+    rows = [(1, make_pdf(["One page. Abstract alpha beta."])),
+            (2, b"corrupt bytes"),
+            (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, pdf binary")
+    got = {r["doc_id"]: r["text"]
+           for r in pdf_text_stage(df).collect()}
+    assert got[1] == "alpha beta."
+    assert got[2] is None and got[3] is None
+
+
+# --- PubMed JATS ------------------------------------------------------------
+
+_JATS = """<article>
+ <front>
+  <journal-meta><journal-title-group>
+    <journal-title>Journal of Things</journal-title>
+  </journal-title-group></journal-meta>
+  <article-meta>
+   <article-id pub-id-type="pmid">12345</article-id>
+   <article-id pub-id-type="doi">10.1/xyz</article-id>
+   <title-group><article-title>On <italic>viruses</italic></article-title></title-group>
+   <contrib-group>
+     <contrib contrib-type="author"><name><surname>Doe</surname>
+       <given-names>J</given-names></name></contrib>
+   </contrib-group>
+   <abstract><p>Short   abstract.</p></abstract>
+  </article-meta>
+ </front>
+ <body>
+  <sec><title>Intro</title><p>First <bold>para</bold> text.</p></sec>
+  <sec><p>Second para.</p><sec><p>Nested third.</p></sec></sec>
+ </body>
+</article>"""
+
+
+def test_pubmed_meta_and_text():
+    meta = parse_pubmed_meta(_JATS)
+    assert meta["full_title"] == "On viruses"
+    assert meta["journal"] == "Journal of Things"
+    assert meta["pmid"] == "12345" and meta["doi"] == "10.1/xyz"
+    assert meta["abstract"] == "Short abstract."
+    assert meta["author_list"] == ["Doe J"]
+    paras = parse_pubmed_paragraphs(_JATS)
+    assert [" ".join(p.split()) for p in paras] == [
+        "First para text.", "Second para.", "Nested third."]
+    # the reference's exact join (process.py:160-162)
+    assert parse_pubmed_text(_JATS) == \
+        "First para text. Second para. Nested third."
+
+
+def test_pubmed_stage_isolation(spark):
+    df = spark.createDataFrame(
+        [("p1", _JATS), ("p2", "<not-xml")], "pmid string, xml string")
+    got = {r["pmid"]: (r["full_title"], r["text"])
+           for r in pubmed_text_stage(df).collect()}
+    assert got["p1"] == ("On viruses",
+                         "First para text. Second para. Nested third.")
+    assert got["p2"] == (None, None)
+
+
+# --- GROBID + TEI -----------------------------------------------------------
+
+_TEI = """<TEI xmlns="http://www.tei-c.org/ns/1.0">
+ <teiHeader><fileDesc>
+   <titleStmt><title level="a">Deep Parsing</title></titleStmt>
+ </fileDesc>
+ <profileDesc><abstract><p>We parse  deeply.</p></abstract></profileDesc>
+ </teiHeader>
+ <text><body>
+   <div><head>1. Intro</head><p>Parsing is <hi>fun</hi>.</p></div>
+   <div><p>More text here.</p></div>
+ </body>
+ <back><div><listBibl>
+   <biblStruct><analytic><title>Cited Work One</title></analytic></biblStruct>
+   <biblStruct><analytic><title>Cited Work Two</title></analytic></biblStruct>
+ </listBibl></div></back></text>
+</TEI>"""
+
+
+def test_tei_fields():
+    f = tei_to_fields(_TEI)
+    assert f["title"] == "Deep Parsing"
+    assert f["abstract"] == "We parse deeply."
+    assert f["text"] == "Parsing is fun. More text here."
+    assert f["references"] == ["Cited Work One", "Cited Work Two"]
+
+
+def test_tei_stage(spark):
+    df = spark.createDataFrame([(7, _TEI), (8, "<bad")],
+                               "doc_id long, tei string")
+    got = {r["doc_id"]: (r["title"], r["n_refs"])
+           for r in tei_fields_stage(df).collect()}
+    assert got[7] == ("Deep Parsing", 2)
+    assert got[8] == (None, None)
+
+
+class _StubGrobid(http.server.BaseHTTPRequestHandler):
+    """Speaks the reference protocol: POST /api/<service>, multipart
+    with an 'input' PDF part; first hit returns 503 (busy), then TEI."""
+    hits = []
+
+    def do_POST(self):
+        body = self.rfile.read(int(self.headers["Content-Length"]))
+        type(self).hits.append((self.path, body))
+        if len(type(self).hits) == 1:
+            self.send_response(503)
+            self.end_headers()
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "application/xml")
+        self.end_headers()
+        self.wfile.write(_TEI.encode())
+
+    def log_message(self, *a):  # silence
+        pass
+
+
+def test_grobid_client_retry_and_parse():
+    _StubGrobid.hits = []
+    srv = http.server.HTTPServer(("127.0.0.1", 0), _StubGrobid)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        client = GrobidClient("127.0.0.1", str(srv.server_port),
+                              sleep_time=0.05, max_retries=2)
+        pdf = make_pdf(["A PDF sent to grobid."])
+        tei = client.process_pdf(pdf)
+        assert len(_StubGrobid.hits) == 2          # 503 then 200
+        path, body = _StubGrobid.hits[1]
+        assert path == "/api/processFulltextDocument"
+        assert pdf in body                          # PDF rode the multipart
+        assert b'name="input"' in body
+        assert tei_to_fields(tei)["title"] == "Deep Parsing"
+    finally:
+        srv.shutdown()
+
+
+def test_grobid_non_503_error_raises():
+    class _Fail(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers["Content-Length"]))
+            self.send_response(500)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), _Fail)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        client = GrobidClient("127.0.0.1", str(srv.server_port),
+                              sleep_time=0.01, max_retries=1)
+        with pytest.raises(Exception):
+            client.process_pdf(make_pdf(["x"]))
+    finally:
+        srv.shutdown()
