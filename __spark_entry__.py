@@ -786,6 +786,45 @@ SQL_KG_COREF = (f"SELECT CAST({KG_COREF_N} AS BIGINT) AS n_triples, "
                 f"'{KG_COREF_HASH}' AS set_hash")
 
 
+# PDF-ingest route: the same 100 seeded articles rendered as REAL
+# Flate-compressed PDFs (corpus.pdf_documents_df → make_pdf with an
+# arXiv-style Abstract front page and Acknowledgments trailer), decoded
+# by the pure-python extractor (sources/pdftext.py, the slate/parse_pdf
+# twin incl. its slicing chain) and run through the full KG pipeline.
+# Digest pinned from two independent runs (local[8]/sp=8 and
+# local[16]/sp=32, identical).
+KG_PDF_N = 1288
+KG_PDF_HASH = "f1833d5ca122a0988b716e0d94cfa6bf"
+
+
+def q_kg_pipeline_pdf(spark, sf_dir):
+    """full KG construction from a PDF corpus: pdf bytes → text
+    (sources/pdftext.pdf_text_stage) → pipeline → (count, sorted-set
+    md5) vs the pinned golden digest. Corrupt-scan PDFs flow through
+    as NULL text (the PDF analog of the no-article invariant)."""
+    from multivac_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from multivac_spark.sources import corpus
+    from multivac_spark.sources.pdftext import pdf_text_stage
+
+    pdocs = corpus.pdf_documents_df(spark, 100)
+    docs = (pdf_text_stage(pdocs, "pdf")
+            .select("url", "warc_ts",
+                    F.lit(None).cast("binary").alias("html"),
+                    "text", "lang"))
+    emb = corpus.embeddings_df(spark)
+    tables = run_pipeline(spark, docs, emb,
+                          PipelineConfig(top_n_ent=5000, top_n_rel=50))
+    return (tables["final_triples"]
+            .agg(F.count("*").alias("n_triples"),
+                 F.md5(F.concat_ws("\n", F.array_sort(F.collect_list(
+                     F.concat_ws("|", "subj", "pred", "obj")))))
+                 .alias("set_hash")))
+
+
+SQL_KG_PDF = (f"SELECT CAST({KG_PDF_N} AS BIGINT) AS n_triples, "
+              f"'{KG_PDF_HASH}' AS set_hash")
+
+
 # incremental KG maintenance (streaming/kg_update.py): the query runs
 # the STREAMING flow — 2-drain AvailableNow ingest + foreachBatch count
 # merge — over a 60/40 split of the same 100-doc corpus; the oracle
@@ -1373,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline_synth": q_kg_pipeline_synth,
         "kg_pipeline_textacy": q_kg_pipeline_textacy,
         "kg_pipeline_coref": q_kg_pipeline_coref,
+        "kg_pipeline_pdf": q_kg_pipeline_pdf,
         "kg_incremental_counts": q_kg_incremental_counts,
         "kron_fit": q_kron_fit,
         "eigenvector_centrality": q_eigenvector_centrality,
@@ -1420,6 +1460,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pipeline_synth": SQL_KG_SYNTH,
         "kg_pipeline_textacy": SQL_KG_TEXTACY,
         "kg_pipeline_coref": SQL_KG_COREF,
+        "kg_pipeline_pdf": SQL_KG_PDF,
         "kg_incremental_counts": SQL_INC_COUNTS,
         "kron_fit": SQL_KRON_FIT,
         "eigenvector_centrality": SQL_EIGEN,

@@ -313,6 +313,48 @@ def _host_weights() -> np.ndarray:
 DOCUMENTS_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                     "text string, lang string")
 
+PDF_DOCUMENTS_SCHEMA = ("url string, warc_ts timestamp, pdf binary, "
+                        "lang string")
+
+
+def gen_pdf_document(doc_index: int) -> dict:
+    """The arXiv-shaped sibling of ``gen_document``: the SAME seeded
+    article content rendered as a real PDF (sources/pdftext.make_pdf,
+    Flate-compressed) with a title/Abstract front page and an
+    Acknowledgments trailer — so the reference's parse_pdf slicing
+    chain (process.py:142-148) is exercised by every document. Pages
+    carry ~120 words each. No-article pages become corrupt PDF bytes
+    (parse_pdf → None, the PDF analog of the NULL-text invariant)."""
+    from ..functions.html_text import extract_article_text
+    from .pdftext import make_pdf
+
+    row = gen_document(doc_index)
+    text = extract_article_text(row["html"])
+    if text is None:
+        pdf = b"%PDF-1.4\n% corrupt scan, no text layer\n"
+    else:
+        words = text.split()
+        pages = [" ".join(words[k:k + 120])
+                 for k in range(0, len(words), 120)] or [""]
+        pages[0] = (f"arXiv preprint {row['url']} Abstract " + pages[0])
+        pages[-1] += " Acknowledgments We thank the synthetic reviewers."
+        pdf = make_pdf(pages)
+    return {"url": row["url"], "warc_ts": row["warc_ts"], "pdf": pdf,
+            "lang": row["lang"]}
+
+
+def pdf_documents_df(spark, n_docs: int, partitions: int | None = None):
+    """Distributed PDF-corpus generation (same shape as documents_df)."""
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [gen_pdf_document(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return (spark.range(0, n_docs, numPartitions=parts)
+            .mapInPandas(gen, schema=PDF_DOCUMENTS_SCHEMA))
+
 
 def documents_df(spark, n_docs: int, partitions: int | None = None):
     """Distributed generation: spark.range → mapInPandas, one seeded row
