@@ -120,6 +120,11 @@ def main() -> None:
     clusters = canon.cluster_entities(uniq_ents.select("mention"), emb)
     final = canon.canonicalize_triples(
         triples.select("subj", "pred", "obj"), clusters, uniq_rels)
+    # stage the canonical triples once: build_graph_tables' entities/
+    # relations/edges branches would each re-run the canonicalize joins
+    # (3x) from the lazy plan — at cluster scale this is the staged
+    # final-triples table every consumer reads (9.3s -> 5.5s here)
+    final = final.localCheckpoint()
     graph = materialize.build_graph_tables(final)
     n_edges = graph["edges"].count()
     timings["kg_canonicalize_materialize"] = round(time.time() - t0, 3)

@@ -79,6 +79,9 @@ def main() -> None:
         clusters = canon.cluster_entities(uniq_ents.select("mention"), emb)
         final = canon.canonicalize_triples(
             triples.select("subj", "pred", "obj"), clusters, uniq_rels)
+        # stage once: graph-table branches otherwise re-run the
+        # canonicalize joins 3x (see bench.py note)
+        final = final.localCheckpoint()
         graph = materialize.build_graph_tables(final)
         n_edges = graph["edges"].count()
         timings["kg_canonicalize_materialize"] = round(time.time() - t0, 3)

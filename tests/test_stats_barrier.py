@@ -89,6 +89,29 @@ def test_localcheckpoint_alone_does_not_bound_stats(spark):
         "stats_barrier may be droppable")
 
 
+def test_barrier_javardd_fallback_route(spark, monkeypatch):
+    """If the package-private internalCreateDataFrame ever becomes
+    py4j-invisible, the createDataFrame(JavaRDD[Row], schema) fallback
+    must produce the same frame with the same bounded stats."""
+    df = spark.range(50).select(F.col("id").alias("k"),
+                                (F.col("id") * 7).alias("v"))
+    jspark = spark._jsparkSession
+
+    class _NoInternal:
+        def internalCreateDataFrame(self, *a, **kw):
+            raise AttributeError("gone")
+
+        def __getattr__(self, name):
+            return getattr(jspark, name)
+
+    monkeypatch.setattr(spark, "_jsparkSession", _NoInternal(),
+                        raising=False)
+    b = stats_barrier(df)
+    assert b.count() == 50
+    assert b.agg(F.sum("v")).collect()[0][0] == 7 * sum(range(50))
+    assert _stat_bits(b) <= 80
+
+
 def test_cc_distributed_path_stats_stay_bounded(spark):
     """connected_components' distributed route must come out with flat
     statistics (it feeds canonicalize → graph build → eigenvector)."""
