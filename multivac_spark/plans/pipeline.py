@@ -45,7 +45,7 @@ class PipelineConfig:
     # optional expand_rdfs mention widening (rdf_parse.py:214-226 —
     # declared in the reference but never called, so off by default):
     # 'ner' = rule-NER entitymentions twin, 'chunks' = NP-chunk
-    # inventory. Takes the staged extraction route, like coref.
+    # inventory. Rides the fused pass (staged when combined with coref).
     expand_mentions: str | None = None
     # RegexNER-style gazetteer (term → label) for expand_mentions='ner'
     gazetteer: dict | None = None
@@ -121,13 +121,15 @@ def run_pipeline(spark: SparkSession,
     if cfg.extractor == "textacy":
         from ..functions.svo_textacy import extract_triples_textacy_stage
         raw_triples = extract_triples_textacy_stage(sentences)
-    elif cfg.coref or cfg.expand_mentions:
+    elif cfg.coref:
         raw_triples = extract_triples_stage(
             sentences, mention_source=cfg.expand_mentions,
             gazetteer=cfg.gazetteer)
     else:
-        raw_triples = fused_extract_stage(documents, lex, lemmas,
-                                          cfg.lang_filter)
+        # expand_mentions rides the fused pass — no extra Arrow crossing
+        raw_triples = fused_extract_stage(
+            documents, lex, lemmas, cfg.lang_filter,
+            mention_source=cfg.expand_mentions, gazetteer=cfg.gazetteer)
     triples = normalize_triples(raw_triples, vocab.verb_lemma_table(), lex)
 
     uniq_ents = materialize.top_entities(triples, cfg.top_n_ent)
