@@ -40,7 +40,7 @@ unit L2 after every epoch.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 GRAD_SCALE = float(1 << 20)   # fixed-point quantum for gradient cells
 DEFAULT_DIM = 50
@@ -430,6 +430,67 @@ def predict_completions_transe(final_triples: DataFrame,
     heads = side("tail", topk_heads, "tail_id", "head_id",
                  "imputed_head")
     return tails.unionByName(heads)
+
+
+def predicted_objects(final_triples: DataFrame, E: np.ndarray,
+                      R: np.ndarray, query: str,
+                      num_top_rel: int = 25,
+                      threshold: float = 0.1) -> dict[str, DataFrame]:
+    """``predicted_object`` twin (MULTIVAC_link_prediction.py:19-112)
+    with the trained model: substring-match the query against the
+    entity dictionary (the reference's entity2id scan), cross every
+    matched head with EVERY relation (its relation-file loop), predict
+    the best tail per (head, rel) with the reference's self-skip quirk
+    (``predict_tail_entity(.., 2)``: if rank-1 == head take rank-2),
+    score each completed triple, and return:
+
+    * ``"top"`` — the ``num_top_rel`` most plausible triples with
+      entity strings (the prediction JSON). The reference sorts its
+      ``predict_triple`` value ascending (:96-98) — distance-valued in
+      OpenKE, i.e. most-plausible first; this twin's score is the
+      similarity ``1e6/(1+d)`` used package-wide, so most-plausible
+      first = score descending (same effective order, documented
+      mapping).
+    * ``"network"`` — (head_id, tail_id, score_micro) above the 0.1
+      threshold (the network JSON, :101-102).
+
+    Shapes: matched heads × top-N relations is dictionary-bounded; the
+    tail prediction is the broadcast BLAS top-k kernel (k=2)."""
+    from .materialize import build_graph_tables
+
+    g = build_graph_tables(final_triples)
+    entities = g["entities"].localCheckpoint()
+    ent_b = F.broadcast(entities)
+    heads = (entities
+             .filter(F.col("entity").contains(query.lower()))
+             .select(F.col("entity_id").alias("head_id"),
+                     F.col("entity").alias("head")))
+    rels = g["relations"].select("rel_id", "rel")
+    pairs = (F.broadcast(heads).crossJoin(F.broadcast(rels))
+             .select("head_id", "rel_id").distinct())
+    top2 = topk_tails(pairs, E, R, k=2)
+    # self-skip: first-ranked tail unless it IS the head, else second
+    w = Window.partitionBy("head_id", "rel_id").orderBy(F.asc("rank"))
+    chosen = (top2.filter(F.col("tail_id") != F.col("head_id"))
+              .withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn", "rank",
+                                              "score_micro"))
+    scored = score_triples(chosen.select("head_id", "rel_id", "tail_id"),
+                           E, R)
+    named = (scored
+             .join(ent_b.select(F.col("entity_id").alias("head_id"),
+                                F.col("entity").alias("head")), "head_id")
+             .join(ent_b.select(F.col("entity_id").alias("tail_id"),
+                                F.col("entity").alias("tail")), "tail_id")
+             .join(F.broadcast(rels), "rel_id"))
+    top = (named.orderBy(F.desc("score_micro"), F.asc("head_id"),
+                         F.asc("rel_id"))
+           .limit(num_top_rel)
+           .select("head", "rel", "tail", "score_micro"))
+    network = (scored
+               .filter(F.col("score_micro") > int(threshold * 1_000_000))
+               .select("head_id", "tail_id", "score_micro"))
+    return {"top": top, "network": network}
 
 
 def embeddings_df(spark, E: np.ndarray, kind: str = "entity") -> DataFrame:

@@ -94,3 +94,55 @@ def test_topk_heads_matches_bruteforce(spark):
         order = np.lexsort((np.arange(n_ent), d))[:4]
         rows.sort()
         assert [h for _, h in rows] == [int(x) for x in order]
+
+
+def test_predicted_objects_reference_replay(spark):
+    """predicted_objects must equal a direct numpy replay of the
+    reference loop (MULTIVAC_link_prediction.py:19-112): substring
+    head match x every relation -> top-2 tail with self-skip ->
+    score -> most-plausible num_top_rel + thresholded network set."""
+    from pyspark.sql import functions as F
+
+    from multivac_spark.operators.materialize import build_graph_tables
+
+    kg = _string_kg(spark)
+    g = build_graph_tables(kg)
+    ents = {r["entity"]: r["entity_id"] for r in g["entities"].collect()}
+    rels = {r["rel"]: r["rel_id"] for r in g["relations"].collect()}
+    edges = g["edges"]
+    n_ent = len(ents)
+    E, R = transe.train_transe(edges, n_ent, len(rels), dim=16,
+                               epochs=40, lr=0.5)
+
+    out = transe.predicted_objects(kg, E, R, "city1", num_top_rel=10)
+    top = [(r["head"], r["rel"], r["tail"], r["score_micro"])
+           for r in out["top"].collect()]
+    net = {(r["head_id"], r["tail_id"]): r["score_micro"]
+           for r in out["network"].collect()}
+
+    # --- numpy replay of the reference loop ---
+    inv_ent = {v: k for k, v in ents.items()}
+    exp_rows = []
+    for ent, hid in ents.items():
+        if "city1" not in ent:
+            continue
+        for rel, rid in rels.items():
+            d2 = np.linalg.norm(E + 0 - (E[hid] + R[rid]), axis=1)
+            order = np.lexsort((np.arange(n_ent), d2))  # rank, tie by id
+            tail0 = order[:2]
+            tid = int(tail0[1] if tail0[0] == hid else tail0[0])
+            d = float(np.linalg.norm(E[hid] + R[rid] - E[tid]))
+            score = int(np.floor(1_000_000.0 / (1.0 + d)))
+            exp_rows.append((hid, rid, tid, score))
+
+    # network set: score > 0.1e6
+    exp_net = {(h, t): s for h, r, t, s in exp_rows if s > 100_000}
+    assert net == exp_net
+    # top: score desc, head asc, rel asc, limit 10
+    exp_sorted = sorted(exp_rows, key=lambda x: (-x[3], x[0], x[1]))[:10]
+    exp_top = [(inv_ent[h], [k for k, v in rels.items() if v == r][0],
+                inv_ent[t], s) for h, r, t, s in exp_sorted]
+    assert sorted(top) == sorted(exp_top)
+    # the self-skip quirk held everywhere
+    assert all(h != t for h, _r, t, _s in
+               [(r[0], r[1], r[2], r[3]) for r in top])
