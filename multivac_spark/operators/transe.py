@@ -432,6 +432,74 @@ def predict_completions_transe(final_triples: DataFrame,
     return tails.unionByName(heads)
 
 
+def rank_eval(test_edges: DataFrame, E: np.ndarray, R: np.ndarray,
+              filter_edges: DataFrame | None = None) -> dict:
+    """Link-prediction evaluation in the OpenKE test-protocol shape
+    (the reference's model-selection loop runs inside the OpenKE C++
+    boundary): for every test triple rank the TRUE tail among all
+    entities by ‖h + r − t‖ (and the true head symmetrically), report
+    hits@1 / hits@10 / mean rank over both directions.
+
+    ``filter_edges``: the "filtered" setting — other TRUE triples are
+    excluded from the candidate ranking so a correct completion is not
+    penalized for outranking by another correct answer. Pass the
+    training edge list for OpenKE's filtered metrics; None = raw.
+
+    Distributed shape: one Arrow pass; per batch, ranks come from one
+    BLAS matmul against the broadcast entity matrix; the filter set
+    rides the same broadcast as a per-(anchor, rel) map. The result is
+    a driver dict of global averages (a bounded 6-number reduce)."""
+    import pandas as pd
+
+    sc = test_edges.sparkSession.sparkContext
+    filt: dict[tuple[int, int, str], set[int]] = {}
+    if filter_edges is not None:
+        for row in filter_edges.select("head_id", "rel_id",
+                                       "tail_id").collect():
+            filt.setdefault((row["head_id"], row["rel_id"], "t"),
+                            set()).add(row["tail_id"])
+            filt.setdefault((row["tail_id"], row["rel_id"], "h"),
+                            set()).add(row["head_id"])
+    bc = sc.broadcast((E, R, filt))
+
+    def kernel(batches):
+        Eb, Rb, fl = bc.value
+        sq = (Eb ** 2).sum(axis=1)
+        for pdf in batches:
+            h = pdf["head_id"].to_numpy(dtype=np.int64)
+            r = pdf["rel_id"].to_numpy(dtype=np.int64)
+            t = pdf["tail_id"].to_numpy(dtype=np.int64)
+            rows = {"rank": [], "direction": []}
+            for qv, true_id, anchor, direction in (
+                    (Eb[h] + Rb[r], t, h, "t"),
+                    (Eb[t] - Rb[r], h, t, "h")):
+                d2 = ((qv ** 2).sum(axis=1)[:, None]
+                      - 2.0 * (qv @ Eb.T) + sq[None, :])
+                for i in range(len(h)):
+                    di = d2[i]
+                    true_d = di[true_id[i]]
+                    mask = fl.get((int(anchor[i]), int(r[i]), direction))
+                    n_better = int((di < true_d).sum())
+                    if mask:
+                        n_better -= sum(
+                            1 for m in mask
+                            if m != true_id[i] and di[m] < true_d)
+                    rows["rank"].append(n_better + 1)
+                    rows["direction"].append(direction)
+            yield pd.DataFrame(rows)
+
+    ranks = test_edges.select("head_id", "rel_id", "tail_id").mapInPandas(
+        kernel, schema="rank long, direction string")
+    agg = ranks.agg(
+        F.avg((F.col("rank") <= 1).cast("double")).alias("hits1"),
+        F.avg((F.col("rank") <= 10).cast("double")).alias("hits10"),
+        F.avg("rank").alias("mean_rank"),
+        F.avg(1.0 / F.col("rank")).alias("mrr")).collect()[0]
+    return {"hits1": float(agg["hits1"]), "hits10": float(agg["hits10"]),
+            "mean_rank": float(agg["mean_rank"]),
+            "mrr": float(agg["mrr"])}
+
+
 def predicted_objects(final_triples: DataFrame, E: np.ndarray,
                       R: np.ndarray, query: str,
                       num_top_rel: int = 25,

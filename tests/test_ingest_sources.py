@@ -222,3 +222,29 @@ def test_grobid_non_503_error_raises():
             client.process_pdf(make_pdf(["x"]))
     finally:
         srv.shutdown()
+
+
+# --- property: PDF round-trip preserves words -------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _page_text = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=1, max_size=400)
+
+    @given(pages=st.lists(_page_text, min_size=1, max_size=4),
+           compress=st.booleans())
+    @settings(max_examples=60, deadline=None)
+    def test_pdf_roundtrip_property(pages, compress):
+        """Any printable-ASCII page set survives make_pdf →
+        pdf_pages_text with word content intact (whitespace-normalized,
+        page count preserved) — parens, backslashes, operators and all."""
+        data = make_pdf(pages, compress=compress)
+        got = pdf_pages_text(data)
+        want = [" ".join(p.split()) for p in pages]
+        got_n = [" ".join(g.split()) for g in got]
+        # blank pages produce no text chunk; compare the non-blank seq
+        assert [w for w in want if w] == [g for g in got_n if g]
+except ImportError:  # pragma: no cover
+    pass

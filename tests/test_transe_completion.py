@@ -146,3 +146,57 @@ def test_predicted_objects_reference_replay(spark):
     # the self-skip quirk held everywhere
     assert all(h != t for h, _r, t, _s in
                [(r[0], r[1], r[2], r[3]) for r in top])
+
+
+def test_rank_eval_trained_beats_random_and_filtered_helps(spark):
+    """OpenKE-protocol metrics: the trained model must crush random
+    embeddings on hits@10/MRR over the training edges, and the
+    filtered setting must never score worse than raw."""
+    from multivac_spark.operators.materialize import build_graph_tables
+
+    kg = _string_kg(spark)
+    g = build_graph_tables(kg)
+    edges = g["edges"].localCheckpoint()
+    n_ent = g["entities"].count()
+    n_rel = g["relations"].count()
+
+    E, R = transe.train_transe(edges, n_ent, n_rel, dim=16,
+                               epochs=40, lr=0.5)
+    raw = transe.rank_eval(edges, E, R)
+    filt = transe.rank_eval(edges, E, R, filter_edges=edges)
+
+    rng = np.random.RandomState(0)
+    E0 = rng.normal(size=E.shape)
+    E0 /= np.linalg.norm(E0, axis=1, keepdims=True)
+    R0 = rng.normal(size=R.shape)
+    rand = transe.rank_eval(edges, E0, R0)
+
+    assert filt["hits10"] > rand["hits10"] + 0.2
+    assert filt["mrr"] > rand["mrr"] * 2
+    assert filt["mean_rank"] < rand["mean_rank"]
+    # filtered can only improve (true competitors removed)
+    assert filt["hits10"] >= raw["hits10"]
+    assert filt["mean_rank"] <= raw["mean_rank"]
+
+
+def test_rank_eval_exact_on_handcrafted_embeddings(spark):
+    """Deterministic check of the rank arithmetic: place entities on
+    axis-aligned points so every rank is computable by hand."""
+    spark_df = spark.createDataFrame(
+        [(0, 0, 1)], "head_id long, rel_id long, tail_id long")
+    # e0=(0,0), e1=(1,0), e2=(0.9,0) — q = e0 + r = (1,0):
+    # distances to (e0,e1,e2) = (1, 0, .1) → true tail e1 ranks 1
+    # head dir: q = e1 - r = (0,0): distances (0, 1, .9) → e0 ranks 1
+    E = np.array([[0.0, 0.0], [1.0, 0.0], [0.9, 0.0]])
+    R = np.array([[1.0, 0.0]])
+    m = transe.rank_eval(spark_df, E, R)
+    assert m["hits1"] == 1.0 and m["mean_rank"] == 1.0
+    # move the true tail off-axis so e2 outranks it → tail rank 2
+    E2 = np.array([[0.0, 0.0], [1.0, 0.4], [0.9, 0.0]])
+    m2 = transe.rank_eval(spark_df, E2, R)
+    assert m2["mean_rank"] == 1.5  # tail rank 2, head rank 1
+    # filtered with (0, r, 2) known removes e2 from tail candidates
+    known = spark.createDataFrame([(0, 0, 2)],
+                                  "head_id long, rel_id long, tail_id long")
+    m3 = transe.rank_eval(spark_df, E2, R, filter_edges=known)
+    assert m3["mean_rank"] == 1.0
