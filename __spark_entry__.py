@@ -553,6 +553,52 @@ FROM pairs
 """
 
 
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality filtering: an add-one-smoothed bigram LM
+    is trained on the even-doc_id half of the corpus (the 'reference
+    slice'), every document is scored by mean log P(w2|w1) — the
+    curation signal web pipelines threshold on. Both training and
+    scoring replayed fully in SQL by the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    lm = textops.train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    return textops.lm_score(docs, lm)
+
+
+SQL_LM_QUALITY = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents),
+train AS (SELECT ts FROM tok WHERE doc_id % 2 = 0),
+bg_train AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2
+  FROM train, LATERAL unnest(generate_series(1, len(ts) - 1)) AS t(i)),
+bigrams AS (SELECT w1, w2, count(*) AS c2 FROM bg_train GROUP BY 1, 2),
+unigrams AS (
+  SELECT w1, count(*) AS c1
+  FROM (SELECT unnest(ts) AS w1 FROM train) GROUP BY 1),
+v AS (SELECT count(*) AS n FROM unigrams),
+bg_all AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM tok, LATERAL unnest(generate_series(1, len(ts) - 1)) AS t(i)),
+j AS (
+  SELECT bg_all.doc_id,
+         ln((COALESCE(c2, 0) + 1.0)
+            / (COALESCE(c1, 0) + (SELECT CAST(n AS DOUBLE) FROM v))) AS lp
+  FROM bg_all
+  LEFT JOIN bigrams USING (w1, w2)
+  LEFT JOIN unigrams USING (w1)),
+agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS s
+        FROM j GROUP BY doc_id)
+SELECT tok.doc_id,
+       CAST(COALESCE(agg.n_bigrams, 0) AS INT) AS n_bigrams,
+       CAST(CASE WHEN COALESCE(agg.n_bigrams, 0) = 0 THEN 0
+            ELSE floor(agg.s * 10000 / agg.n_bigrams) END AS BIGINT)
+           AS lm_score_e4
+FROM tok LEFT JOIN agg USING (doc_id)
+"""
+
+
 def q_query_match(spark, sf_dir):
     """cosine theta-join of the query-mapping path (get_answers,
     map_queries.py:153-226) — the REAL query.match_parts operator
@@ -1404,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "lm_quality": q_lm_quality,
         "query_match": q_query_match,
         "ann_topk": q_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1452,6 +1499,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": _minhash_sql(),
         "simhash": _simhash_sql(),
         "ngram_jaccard": _jaccard_sql(),
+        "lm_quality": SQL_LM_QUALITY,
         "query_match": SQL_QUERY_MATCH,
         "ann_topk": SQL_ANN,
         "embedding_near_dups": SQL_NEAR_DUPS,

@@ -74,3 +74,69 @@ def fingerprint(col: Column, k: int = 5) -> Column:
     analog of the reference's 500-char-prefix dedup probe
     (textparsing.py:70-76)."""
     return F.md5(F.concat_ws(" ", F.slice(tokens(col), 1, k)))
+
+
+# --------------------------------------------------------------------------
+# bigram language-model quality score (CCNet-style LM filtering)
+# --------------------------------------------------------------------------
+
+def bigram_pairs(col: Column) -> Column:
+    """Token bigrams of a text column as (w1, w2) structs (lowercased,
+    whitespace tokens); empty array below 2 tokens."""
+    arr = tokens(F.lower(col))
+    return F.when(
+        F.size(arr) < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.struct(F.element_at(arr, i).alias("w1"),
+                               F.element_at(arr, i + 1).alias("w2"))))
+
+
+def train_bigram_lm(docs: DataFrame, text_col: str = "text"
+                    ) -> dict[str, DataFrame]:
+    """Corpus → add-one-smoothed bigram LM tables:
+    ``{"bigrams": (w1, w2, c2), "unigrams": (w1, c1), "vocab_n": int}``.
+
+    The LM-filtering step of web-pipeline curation (CCNet/RefinedWeb
+    shape: score each page by an n-gram LM trained on a reference
+    slice, drop the tail). Two shuffle-bounded aggregations — the same
+    scale shape as tf-idf; the model tables are vocabulary-bounded."""
+    bg = docs.select(F.explode(bigram_pairs(F.col(text_col))).alias("b"))
+    bigrams = (bg.select("b.w1", "b.w2")
+               .groupBy("w1", "w2").agg(F.count("*").alias("c2")))
+    uni = docs.select(F.explode(tokens(F.lower(F.col(text_col))))
+                      .alias("w1"))
+    unigrams = uni.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab_n = unigrams.count()
+    return {"bigrams": bigrams, "unigrams": unigrams, "vocab_n": vocab_n}
+
+
+def lm_score(docs: DataFrame, lm: dict, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """(id, n_bigrams, lm_score_e4): mean log P(w2|w1) per document
+    under the add-one-smoothed model, P = (c2+1)/(c1+V) with c2=0 /
+    c1=0 for unseen pairs/words; floored to e4 integer units for
+    cross-engine comparison (documents without bigrams score 0).
+
+    Shapes: the bigram join is keyed (w1, w2) — a plain shuffled
+    equi-join that scales with corpus size; nothing is collected."""
+    v = int(lm["vocab_n"])
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode_outer(bigram_pairs(F.col(text_col))).alias("b")) \
+        .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    joined = (exploded
+              .join(lm["bigrams"], ["w1", "w2"], "left")
+              .join(lm["unigrams"], ["w1"], "left"))
+    logp = F.log((F.coalesce("c2", F.lit(0)) + 1.0)
+                 / (F.coalesce("c1", F.lit(0)) + F.lit(float(v))))
+    per_doc = (joined.groupBy(id_col)
+               .agg(F.count("w1").alias("n_bigrams"),
+                    F.sum(F.when(F.col("w1").isNotNull(), logp))
+                    .alias("_s")))
+    return per_doc.select(
+        id_col, "n_bigrams",
+        F.when(F.col("n_bigrams") == 0, F.lit(0)).otherwise(
+            F.floor(F.col("_s") * 10_000 / F.col("n_bigrams")))
+        .cast("long").alias("lm_score_e4"))
