@@ -553,6 +553,31 @@ FROM pairs
 """
 
 
+def q_domain_cap(spark, sf_dir):
+    """RefinedWeb-style source curation: drop a source blocklist, cap
+    each source at 5 documents (earliest doc_id first) — the
+    per-source cap that stops one host dominating a crawl-derived
+    training set. Keyed on the driver table's `source` column (the
+    URL-domain variant of the same operators is pytest-covered on the
+    url-bearing synthetic corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = textops.filter_blocklist(docs, ["src1", "src3"],
+                                    key=F.col("source"))
+    capped = textops.cap_per_domain(kept, 5, key=F.col("source"))
+    return capped.select("doc_id", F.col("source").alias("domain"))
+
+
+SQL_DOMAIN_CAP = """
+WITH d AS (
+  SELECT doc_id, source AS domain FROM documents
+  WHERE source NOT IN ('src1', 'src3')),
+r AS (SELECT doc_id, domain,
+             row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+      FROM d)
+SELECT doc_id, domain FROM r WHERE rn <= 5
+"""
+
+
 def q_lm_quality(spark, sf_dir):
     """CCNet-style LM quality filtering: an add-one-smoothed bigram LM
     is trained on the even-doc_id half of the corpus (the 'reference
@@ -1450,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "domain_cap": q_domain_cap,
         "lm_quality": q_lm_quality,
         "query_match": q_query_match,
         "ann_topk": q_ann_topk,
@@ -1499,6 +1525,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": _minhash_sql(),
         "simhash": _simhash_sql(),
         "ngram_jaccard": _jaccard_sql(),
+        "domain_cap": SQL_DOMAIN_CAP,
         "lm_quality": SQL_LM_QUALITY,
         "query_match": SQL_QUERY_MATCH,
         "ann_topk": SQL_ANN,

@@ -140,3 +140,47 @@ def lm_score(docs: DataFrame, lm: dict, text_col: str = "text",
         F.when(F.col("n_bigrams") == 0, F.lit(0)).otherwise(
             F.floor(F.col("_s") * 10_000 / F.col("n_bigrams")))
         .cast("long").alias("lm_score_e4"))
+
+
+# --------------------------------------------------------------------------
+# URL/domain curation (RefinedWeb-style: blocklist + per-domain caps)
+# --------------------------------------------------------------------------
+
+def domain_of(col: Column) -> Column:
+    """scheme://host/... → host (regex form chosen so the DuckDB twin
+    is character-identical; Spark's parse_url differs on edge cases)."""
+    return F.regexp_extract(col, r"^[a-z]+://([^/]+)", 1)
+
+
+def filter_blocklist(docs: DataFrame, blocked_domains: list[str],
+                     key: Column | None = None) -> DataFrame:
+    """Drop documents whose source key is blocklisted; ``key`` defaults
+    to the URL's domain (pass e.g. ``F.col("source")`` for tables that
+    carry a source id instead of a URL). The blocklist is a broadcast
+    anti-join (curation metadata — bounded), so the filter is one
+    narrow pass over the corpus."""
+    spark = docs.sparkSession
+    key = domain_of(F.col("url")) if key is None else key
+    bl = F.broadcast(spark.createDataFrame(
+        [(d,) for d in blocked_domains], "_blk_domain string"))
+    return (docs.withColumn("_dom", key)
+            .join(bl, F.col("_dom") == F.col("_blk_domain"), "left_anti")
+            .drop("_dom"))
+
+
+def cap_per_domain(docs: DataFrame, max_per_domain: int,
+                   key: Column | None = None, order_col: str = "doc_id"
+                   ) -> DataFrame:
+    """Keep at most ``max_per_domain`` documents per source key
+    (default: URL domain), earliest ``order_col`` first — the
+    per-source cap that stops any single host from dominating a
+    crawl-derived training set. One key-partitioned window (shuffle on
+    the key; Zipfian domains are exactly what AQE skew handling is
+    enabled for in session.py)."""
+    from pyspark.sql import Window
+
+    key = domain_of(F.col("url")) if key is None else key
+    w = Window.partitionBy(key).orderBy(F.asc(order_col))
+    return (docs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_per_domain)
+            .drop("_rn"))

@@ -55,3 +55,39 @@ def test_lm_score_separates_in_domain_from_shuffled(spark):
     mean_real = sum(v for k, v in scored.items() if k < 10_000) / 20
     mean_shuf = sum(v for k, v in scored.items() if k >= 10_000) / 20
     assert mean_real > mean_shuf + 5_000   # clearly separated (e4 units)
+
+
+def test_domain_curation_on_url_corpus(spark):
+    """domain_of / blocklist / per-domain cap over the url-bearing
+    synthetic corpus (the driver entry covers the source-keyed form)."""
+    from pyspark.sql import functions as F
+
+    from multivac_spark.sources import corpus
+
+    docs = corpus.documents_df(spark, 120, partitions=4) \
+        .withColumn("doc_id", F.monotonically_increasing_id()) \
+        .localCheckpoint()
+    doms = {r["d"] for r in docs.select(
+        textops.domain_of(F.col("url")).alias("d")).distinct().collect()}
+    assert all(d.startswith("host-") and d.endswith(".example")
+               for d in doms)
+
+    blocked = sorted(doms)[:2]
+    kept = textops.filter_blocklist(docs, blocked)
+    kept_doms = {r["d"] for r in kept.select(
+        textops.domain_of(F.col("url")).alias("d")).distinct().collect()}
+    assert kept_doms == doms - set(blocked)
+    assert "url" in kept.columns          # helper column cleaned up
+
+    capped = textops.cap_per_domain(docs, 3)
+    per = capped.groupBy(textops.domain_of(F.col("url")).alias("d")) \
+        .count().collect()
+    assert all(r["count"] <= 3 for r in per)
+    # earliest doc_ids survive per domain
+    one = sorted(doms)[0]
+    want = [r["doc_id"] for r in docs
+            .filter(textops.domain_of(F.col("url")) == one)
+            .orderBy("doc_id").limit(3).collect()]
+    got = sorted(r["doc_id"] for r in capped
+                 .filter(textops.domain_of(F.col("url")) == one).collect())
+    assert got == sorted(want)
