@@ -553,6 +553,36 @@ FROM pairs
 """
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-rule repetition filtering signal: per-document fraction
+    of repeated token 3- and 5-grams (e4 units) — boilerplate-heavy
+    pages score high and get dropped in web-pipeline curation."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.dup_ngram_fraction(F.col("text"), 3).alias("dup3_e4"),
+        textops.dup_ngram_fraction(F.col("text"), 5).alias("dup5_e4"))
+
+
+def _dup_sql(n: int) -> str:
+    toks = "list_filter(string_split(text, ' '), t -> t <> '')"
+    grams = (f"CASE WHEN len({toks}) < {n} "
+             f"THEN [array_to_string({toks}, ' ')] "
+             f"ELSE list_transform(generate_series(1, len({toks}) - {n - 1}), "
+             f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')) END")
+    return (f"CASE WHEN len({grams}) <= 0 THEN 0 ELSE "
+            f"CAST(floor((len({grams}) - len(list_distinct({grams})))"
+            f" * 10000 / len({grams})) AS BIGINT) END")
+
+
+SQL_REPETITION = f"""
+SELECT doc_id,
+       {_dup_sql(3)} AS dup3_e4,
+       {_dup_sql(5)} AS dup5_e4
+FROM documents
+"""
+
+
 def q_domain_cap(spark, sf_dir):
     """RefinedWeb-style source curation: drop a source blocklist, cap
     each source at 5 documents (earliest doc_id first) — the
@@ -1475,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "repetition_stats": q_repetition_stats,
         "domain_cap": q_domain_cap,
         "lm_quality": q_lm_quality,
         "query_match": q_query_match,
@@ -1525,6 +1556,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": _minhash_sql(),
         "simhash": _simhash_sql(),
         "ngram_jaccard": _jaccard_sql(),
+        "repetition_stats": SQL_REPETITION,
         "domain_cap": SQL_DOMAIN_CAP,
         "lm_quality": SQL_LM_QUALITY,
         "query_match": SQL_QUERY_MATCH,

@@ -184,3 +184,18 @@ def cap_per_domain(docs: DataFrame, max_per_domain: int,
     return (docs.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= max_per_domain)
             .drop("_rn"))
+
+
+def dup_ngram_fraction(col: Column, n: int = 5) -> Column:
+    """Gopher-rule repetition signal: fraction of token n-grams that
+    are repeats of an earlier n-gram in the same document,
+    ``(total − distinct) / total`` in e4 integer units (0 when the
+    document has no n-grams). Pure Column expression — no shuffle, no
+    UDF; the in-document analog of the cross-document shingle dedup."""
+    from .dedup import shingles
+
+    sh = shingles(col, n)
+    total = F.size(sh)
+    distinct = F.size(F.array_distinct(sh))
+    return F.when(total <= 0, F.lit(0)).otherwise(
+        F.floor((total - distinct) * 10_000 / total)).cast("long")
