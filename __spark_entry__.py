@@ -892,10 +892,15 @@ SQL_KG_COREF = (f"SELECT CAST({KG_COREF_N} AS BIGINT) AS n_triples, "
 # arXiv-style Abstract front page and Acknowledgments trailer), decoded
 # by the pure-python extractor (sources/pdftext.py, the slate/parse_pdf
 # twin incl. its slicing chain) and run through the full KG pipeline.
-# Digest pinned from two independent runs (local[8]/sp=8 and
-# local[16]/sp=32, identical).
-KG_PDF_N = 1288
-KG_PDF_HASH = "f1833d5ca122a0988b716e0d94cfa6bf"
+# Digest derived from the GENERATOR'S GROUND-TRUTH text path
+# (corpus.pdf_ground_truth_documents_df — the page assembly + reference
+# slicing chain, no PDF decode), NOT frozen from the extraction kernel:
+# a kernel-frozen golden pinned the round-3 stream-framing bug. The
+# PDF-decode path reproduces this digest bit-exactly (verified
+# local[8]/sp=8 ground-truth vs local[16]/sp=32 pdf-decode;
+# per-url text equality pinned by tests/test_ingest_sources.py).
+KG_PDF_N = 1309
+KG_PDF_HASH = "b467c56201e0f4348176dc975efce743"
 
 
 def q_kg_pipeline_pdf(spark, sf_dir):

@@ -328,19 +328,68 @@ def gen_pdf_document(doc_index: int) -> dict:
     from ..functions.html_text import extract_article_text
     from .pdftext import make_pdf
 
-    row = gen_document(doc_index)
-    text = extract_article_text(row["html"])
-    if text is None:
+    row, pages = _pdf_pages(doc_index)
+    if pages is None:
         pdf = b"%PDF-1.4\n% corrupt scan, no text layer\n"
     else:
-        words = text.split()
-        pages = [" ".join(words[k:k + 120])
-                 for k in range(0, len(words), 120)] or [""]
-        pages[0] = (f"arXiv preprint {row['url']} Abstract " + pages[0])
-        pages[-1] += " Acknowledgments We thank the synthetic reviewers."
         pdf = make_pdf(pages)
     return {"url": row["url"], "warc_ts": row["warc_ts"], "pdf": pdf,
             "lang": row["lang"]}
+
+
+def _pdf_pages(doc_index: int) -> tuple[dict, list[str] | None]:
+    """The generator's page assembly, shared by the PDF renderer and
+    the ground-truth text path (pages=None for corrupt scans)."""
+    from ..functions.html_text import extract_article_text
+
+    row = gen_document(doc_index)
+    text = extract_article_text(row["html"])
+    if text is None:
+        return row, None
+    words = text.split()
+    pages = [" ".join(words[k:k + 120])
+             for k in range(0, len(words), 120)] or [""]
+    pages[0] = (f"arXiv preprint {row['url']} Abstract " + pages[0])
+    pages[-1] += " Acknowledgments We thank the synthetic reviewers."
+    return row, pages
+
+
+def pdf_ground_truth_text(doc_index: int) -> str | None:
+    """The text ``gen_pdf_document``'s PDF MUST decode to — derived
+    from the generator's own page assembly plus the reference slicing
+    chain (process.py:142-148), NEVER from the PDF extraction kernel.
+    This is the independent oracle path for the ``kg_pipeline_pdf``
+    golden digest: a kernel-frozen golden can pin a decode bug (the
+    round-3 stream-framing lesson); a generator-derived golden cannot."""
+    from .pdftext import postprocess_pdf_text
+
+    _row, pages = _pdf_pages(doc_index)
+    if pages is None:
+        return None
+    return postprocess_pdf_text(pages)
+
+
+def pdf_ground_truth_documents_df(spark, n_docs: int,
+                                  partitions: int | None = None):
+    """documents-shaped frame carrying the GROUND-TRUTH text for each
+    synthetic PDF (same rows/schema as pdf_text_stage's output on
+    pdf_documents_df, minus the PDF decode step)."""
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                row, pages = _pdf_pages(int(i))
+                rows.append({"url": row["url"], "warc_ts": row["warc_ts"],
+                             "html": None,
+                             "text": pdf_ground_truth_text(int(i)),
+                             "lang": row["lang"]})
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return (spark.range(0, n_docs, numPartitions=parts)
+            .mapInPandas(gen, schema=DOCUMENTS_SCHEMA))
 
 
 def pdf_documents_df(spark, n_docs: int, partitions: int | None = None):

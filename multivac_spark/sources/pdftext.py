@@ -8,8 +8,15 @@ twin keeps that post-processing chain byte-exact
 (``postprocess_pdf_text``) and replaces the PDFMiner dependency with a
 pure-Python extractor suitable for executors:
 
-* content streams are located by ``stream``/``endstream`` framing with
-  their object dictionaries;
+* objects are parsed into an object table and pages are emitted in
+  **/Root → /Pages → /Kids tree order** (like PDFMiner's page walk),
+  with a document-order stream scan as fallback for PDFs whose tree
+  cannot be resolved;
+* stream bodies are delimited by the dict's ``/Length`` entry exactly
+  (PDF spec §7.3.8; indirect ``/Length n 0 R`` is resolved through the
+  object table), falling back to ``endstream`` search with AT MOST one
+  EOL stripped — never ``rstrip`` (Flate output legitimately ends in
+  0x0A/0x0D bytes);
 * ``/FlateDecode`` streams inflate via stdlib ``zlib`` (the standard
   text-stream codec); raw streams pass through; other codecs
   (DCT/JPX/CCITT — image codecs) are skipped like PDFMiner skips
@@ -17,13 +24,14 @@ pure-Python extractor suitable for executors:
 * text is read from ``BT``…``ET`` blocks: literal ``(…)`` strings
   (with escape and octal handling) and hex ``<…>`` strings under the
   ``Tj``/``TJ``/``'``/``"`` operators, with line operators
-  (``Td``/``TD``/``T*``) contributing separators.
+  (``Td``/``TD``/``T*``) contributing separators;
+* simple font encodings are honored per ``Tf`` font selection:
+  ``/WinAnsiEncoding`` (cp1252), ``/MacRomanEncoding`` (mac-roman),
+  ``/Identity-H`` (2-byte big-endian codes), default Latin-1/Standard.
+  Embedded-subset fonts with custom CMaps still decode as garbage —
+  PDFMiner without a ToUnicode CMap does too.
 
-Scope (documented): pages are emitted in document object order (the
-common case for generated PDFs; full /Pages-tree ordering is a
-deliberate non-goal), and glyphs are assumed Latin-1/ASCII (no
-ToUnicode CMaps — embedded-subset fonts decode as garbage in PDFMiner
-without a CMap too). Encrypted PDFs return None, matching the
+Encrypted PDFs raise, so ``pdf_to_text`` returns None, matching the
 reference's blanket ``except: text = None``.
 """
 
@@ -33,15 +41,25 @@ import re
 import zlib
 
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
+_OBJ_START_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(\s+\d+\s+R)?")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _TEXT_OPS_RE = re.compile(
-    rb"\((?:\\.|[^\\()])*\)\s*(?:Tj|')"        # (str) Tj   (str) '
-    rb"|\((?:\\.|[^\\()])*\)\s*\"?"
+    rb"\((?:\\.|[^\\()])*\)\s*(?:Tj|'|\")"     # (str) Tj  (str) '  aw ac (str) "
     rb"|<[0-9A-Fa-f\s]*>\s*Tj"
-    rb"|\[(?:[^\]\\]|\\.)*\]\s*TJ"
-    rb"|T\*|TD|Td")
+    rb"|\[(?:\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>|[^\]])*\]\s*TJ"
+    rb"|/[A-Za-z][A-Za-z0-9]*\s+[0-9.]+\s+Tf"  # font selection
+    rb"|T\*|TD|Td|BT|ET"
+    rb"|\((?:\\.|[^\\()])*\)"                  # bare string: consume, no emit
+    rb"|<[0-9A-Fa-f\s]*>")                     # bare hex: consume, no emit
 
 _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
             b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
+
+# /Encoding name → decode tag used by _decode_bytes
+_ENCODINGS = {b"/WinAnsiEncoding": "winansi",
+              b"/MacRomanEncoding": "macroman",
+              b"/Identity-H": "identity"}
 
 
 def _decode_literal(body: bytes) -> bytes:
@@ -69,7 +87,7 @@ def _decode_literal(body: bytes) -> bytes:
     return bytes(out)
 
 
-def _decode_hex(body: bytes) -> bytes:
+def _decode_hexbody(body: bytes) -> bytes:
     h = re.sub(rb"\s", b"", body)
     if len(h) % 2:
         h += b"0"
@@ -79,60 +97,339 @@ def _decode_hex(body: bytes) -> bytes:
         return b""
 
 
-def _stream_text(data: bytes) -> str:
-    """One decoded content stream → its text (BT/ET blocks only)."""
+def _decode_bytes(b: bytes, enc: str) -> str:
+    """Glyph bytes → str under a simple-font encoding tag."""
+    if enc == "identity":
+        # Identity-H: 2-byte big-endian character codes (CID == code).
+        if len(b) % 2:
+            b += b"\x00"
+        return "".join(chr((b[i] << 8) | b[i + 1])
+                       for i in range(0, len(b), 2))
+    if enc == "winansi":
+        return b.decode("cp1252", "replace")
+    if enc == "macroman":
+        return b.decode("mac_roman", "replace")
+    return b.decode("latin-1")
+
+
+def _stream_text(data: bytes, fonts: dict[bytes, str] | None = None) -> str:
+    """One decoded content stream → its text (BT/ET blocks only).
+
+    ``fonts`` maps resource font names (e.g. b"F1") to encoding tags;
+    the current ``Tf`` selection switches string decoding accordingly.
+
+    The whole stream is tokenized in one pass (strings/arrays are
+    atomic tokens), tracking BT/ET as state — so literal ``ET`` bytes
+    INSIDE a string can never truncate a text block, and strings not
+    bound to a text-show operator are consumed without being emitted."""
+    fonts = fonts or {}
+    enc = "latin1"
+    in_text = False
+    any_block = False
     parts: list[str] = []
-    for bt in re.finditer(rb"BT(.*?)ET", data, re.DOTALL):
-        block = bt.group(1)
-        for m in _TEXT_OPS_RE.finditer(block):
-            tok = m.group()
-            if tok in (b"T*", b"TD", b"Td"):
+    for m in _TEXT_OPS_RE.finditer(data):
+        tok = m.group()
+        if tok == b"BT":
+            in_text = True
+            any_block = True
+            continue
+        if tok == b"ET":
+            if in_text:
                 parts.append("\n")
-            elif tok.startswith(b"("):
-                body = tok[1:tok.rindex(b")")]
-                parts.append(_decode_literal(body).decode("latin-1"))
-            elif tok.startswith(b"<"):
-                body = tok[1:tok.index(b">")]
-                parts.append(_decode_hex(body).decode("latin-1"))
-            elif tok.startswith(b"["):
-                # TJ array: concatenate string elements, skip kern numbers
-                arr = tok[1:tok.rindex(b"]")]
-                for s in re.finditer(
-                        rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>", arr):
-                    st = s.group()
-                    if st.startswith(b"("):
-                        parts.append(
-                            _decode_literal(st[1:-1]).decode("latin-1"))
-                    else:
-                        parts.append(_decode_hex(st[1:-1]).decode("latin-1"))
-        parts.append("\n")
+            in_text = False
+            continue
+        if tok.endswith(b"Tf"):
+            name = tok[1:].split(None, 1)[0]
+            enc = fonts.get(name, "latin1")
+            continue
+        if not in_text:
+            continue
+        if tok in (b"T*", b"TD", b"Td"):
+            parts.append("\n")
+        elif tok.startswith(b"(") and tok.endswith((b"Tj", b"'", b"\"")):
+            body = tok[1:tok.rindex(b")")]
+            parts.append(_decode_bytes(_decode_literal(body), enc))
+        elif tok.startswith(b"<") and tok.endswith(b"Tj"):
+            body = tok[1:tok.index(b">")]
+            parts.append(_decode_bytes(_decode_hexbody(body), enc))
+        elif tok.startswith(b"["):
+            # TJ array: concatenate string elements, skip kern numbers
+            arr = tok[1:tok.rindex(b"]")]
+            for s in re.finditer(
+                    rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>", arr):
+                st = s.group()
+                if st.startswith(b"("):
+                    parts.append(
+                        _decode_bytes(_decode_literal(st[1:-1]), enc))
+                else:
+                    parts.append(
+                        _decode_bytes(_decode_hexbody(st[1:-1]), enc))
+    if not any_block:
+        return ""
     return "".join(parts)
 
 
+# --------------------------------------------------------------------------
+# stream framing (PDF spec §7.3.8)
+# --------------------------------------------------------------------------
+
+def _frame_stream(data: bytes, hdr: bytes, start: int,
+                  objects: dict[int, tuple[bytes, int]] | None = None,
+                  ) -> bytes | None:
+    """Exact stream body starting at ``start``.
+
+    Honors a direct ``/Length N`` (or indirect ``/Length n 0 R``
+    resolved via ``objects``: obj-num → (body, stream_start)); when
+    unavailable or inconsistent, falls back to ``endstream`` search
+    stripping AT MOST ONE trailing EOL — never ``rstrip``, which eats
+    legitimate 0x0A/0x0D bytes of FlateDecode output (the round-3
+    silent-page-drop bug)."""
+    m = _LENGTH_RE.search(hdr)
+    if m:
+        n = None
+        if m.group(2) is None:
+            n = int(m.group(1))
+        elif objects is not None:
+            ref = objects.get(int(m.group(1)))
+            if ref is not None:
+                lm = re.match(rb"\s*(\d+)", ref[0])
+                if lm:
+                    n = int(lm.group(1))
+        if n is not None:
+            body = data[start:start + n]
+            # the spec requires EOL + 'endstream' right after the body
+            tail = data[start + n:start + n + 16]
+            if tail.lstrip(b"\r\n ").startswith(b"endstream"):
+                return body
+    end = data.find(b"endstream", start)
+    if end < 0:
+        return None
+    raw = data[start:end]
+    if raw.endswith(b"\r\n"):
+        return raw[:-2]
+    if raw.endswith((b"\n", b"\r")):
+        return raw[:-1]
+    return raw
+
+
+def _inflate(hdr: bytes, raw: bytes) -> bytes | None:
+    """Apply the stream filter: Flate inflates, no-filter passes
+    through, image/other codecs → None (skipped, like PDFMiner)."""
+    if b"/FlateDecode" in hdr:
+        try:
+            return zlib.decompress(raw)
+        except zlib.error:
+            return None
+    if b"/Filter" in hdr:
+        return None
+    return raw
+
+
+# --------------------------------------------------------------------------
+# object table + /Pages tree walk
+# --------------------------------------------------------------------------
+
+def _scan_dict(data: bytes, i: int) -> tuple[bytes, int] | None:
+    """Balanced ``<< … >>`` scan from index i (must point at '<<').
+    Returns (dict bytes incl. delimiters, end index)."""
+    if data[i:i + 2] != b"<<":
+        return None
+    depth, j, n = 0, i, len(data)
+    while j < n - 1:
+        two = data[j:j + 2]
+        if two == b"<<":
+            depth += 1
+            j += 2
+        elif two == b">>":
+            depth -= 1
+            j += 2
+            if depth == 0:
+                return data[i:j], j
+        else:
+            j += 1
+    return None
+
+
+def _parse_objects(data: bytes) -> dict[int, tuple[bytes, int]]:
+    """Scan ``N G obj`` … ``endobj`` into {obj-num: (body-after-'obj',
+    stream-body-start-or--1)}. Stream bodies are skipped using their
+    own /Length when direct, so binary content never confuses the
+    scanner; indirect lengths degrade to an endstream search."""
+    objects: dict[int, tuple[bytes, int]] = {}
+    pos = 0
+    while True:
+        m = _OBJ_START_RE.search(data, pos)
+        if not m:
+            break
+        num = int(m.group(1))
+        i = m.end()
+        while i < len(data) and data[i:i + 1] in b" \t\r\n":
+            i += 1
+        stream_start = -1
+        body_start = i
+        d = _scan_dict(data, i)
+        if d is not None:
+            dict_bytes, j = d
+            sm = re.match(rb"\s*stream\r?\n", data[j:j + 16])
+            if sm:
+                stream_start = j + sm.end()
+                lm = _LENGTH_RE.search(dict_bytes)
+                if lm and lm.group(2) is None:
+                    skip = stream_start + int(lm.group(1))
+                else:
+                    skip = stream_start
+                end = data.find(b"endstream", skip)
+                j = end + len(b"endstream") if end >= 0 else len(data)
+            endobj = data.find(b"endobj", j)
+        else:
+            endobj = data.find(b"endobj", i)
+        if endobj < 0:
+            endobj = len(data)
+        objects[num] = (data[body_start:endobj], stream_start)
+        pos = endobj + 6
+    return objects
+
+
+def _dict_of(objects: dict, num: int) -> bytes | None:
+    o = objects.get(num)
+    if o is None:
+        return None
+    d = _scan_dict(o[0], 0)
+    return d[0] if d is not None else o[0]
+
+
+def _name_ref(d: bytes, key: bytes) -> int | None:
+    m = re.search(re.escape(key) + rb"\s+(\d+)\s+\d+\s+R", d)
+    return int(m.group(1)) if m else None
+
+
+def _page_fonts(objects: dict, page_dict: bytes) -> dict[bytes, str]:
+    """Resolve /Resources → /Font → per-name /Encoding tags."""
+    rm = re.search(rb"/Resources\s*", page_dict)
+    if not rm:
+        return {}
+    res: bytes | None
+    if page_dict[rm.end():rm.end() + 2] == b"<<":
+        d = _scan_dict(page_dict, rm.end())
+        res = d[0] if d else None
+    else:
+        ref = re.match(rb"(\d+)\s+\d+\s+R", page_dict[rm.end():])
+        res = _dict_of(objects, int(ref.group(1))) if ref else None
+    if not res:
+        return {}
+    fm = re.search(rb"/Font\s*", res)
+    if not fm:
+        return {}
+    if res[fm.end():fm.end() + 2] == b"<<":
+        d = _scan_dict(res, fm.end())
+        fd = d[0] if d else None
+    else:
+        ref = re.match(rb"(\d+)\s+\d+\s+R", res[fm.end():])
+        fd = _dict_of(objects, int(ref.group(1))) if ref else None
+    if not fd:
+        return {}
+    fonts: dict[bytes, str] = {}
+    for m in re.finditer(rb"/([A-Za-z][A-Za-z0-9]*)\s+(\d+)\s+\d+\s+R", fd):
+        font_dict = _dict_of(objects, int(m.group(2)))
+        if font_dict is None:
+            continue
+        em = re.search(rb"/Encoding\s*(/[A-Za-z0-9\-]+)", font_dict)
+        if em and em.group(1) in _ENCODINGS:
+            fonts[m.group(1)] = _ENCODINGS[em.group(1)]
+    return fonts
+
+
+def _walk_pages(objects: dict, node: int,
+                out: list[int], seen: set[int], depth: int = 0) -> None:
+    if depth > 64 or node in seen:
+        return
+    seen.add(node)
+    d = _dict_of(objects, node)
+    if d is None:
+        return
+    if b"/Kids" in d:
+        km = re.search(rb"/Kids\s*\[(.*?)\]", d, re.DOTALL)
+        if km:
+            for r in _REF_RE.finditer(km.group(1)):
+                _walk_pages(objects, int(r.group(1)), out, seen, depth + 1)
+    elif b"/Page" in d:
+        out.append(node)
+
+
+def _tree_pages_text(data: bytes,
+                     objects: dict[int, tuple[bytes, int]]) -> list[str] | None:
+    """Pages in /Root→/Pages→/Kids order, each page's /Contents streams
+    concatenated and decoded under its font encodings. None when the
+    tree cannot be resolved (→ caller falls back to document order)."""
+    rm = None
+    for rm in re.finditer(rb"/Root\s+(\d+)\s+\d+\s+R", data):
+        pass
+    if rm is None:
+        return None
+    catalog = _dict_of(objects, int(rm.group(1)))
+    if catalog is None:
+        return None
+    pages_ref = _name_ref(catalog, b"/Pages")
+    if pages_ref is None:
+        return None
+    page_nums: list[int] = []
+    _walk_pages(objects, pages_ref, page_nums, set())
+    if not page_nums:
+        return None
+    pages: list[str] = []
+    for pnum in page_nums:
+        pd = _dict_of(objects, pnum)
+        if pd is None:
+            continue
+        cm = re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", pd)
+        if not cm:
+            continue
+        refs = [int(r.group(1)) for r in _REF_RE.finditer(cm.group(1))]
+        fonts = _page_fonts(objects, pd)
+        chunks: list[str] = []
+        for ref in refs:
+            o = objects.get(ref)
+            if o is None or o[1] < 0:
+                continue
+            body, stream_start = o
+            d = _scan_dict(body, 0)
+            hdr = d[0] if d else b""
+            raw = _frame_stream(data, hdr,
+                                stream_start, objects)
+            if raw is None:
+                continue
+            dec = _inflate(hdr, raw)
+            if dec is None or b"BT" not in dec:
+                continue
+            chunks.append(_stream_text(dec, fonts))
+        txt = "".join(chunks)
+        if txt.strip():
+            pages.append(txt)
+    return pages
+
+
 def pdf_pages_text(data: bytes) -> list[str]:
-    """PDF bytes → per-content-stream text chunks (document order)."""
+    """PDF bytes → per-page text chunks in /Pages-tree order (falling
+    back to document object order when the tree is unresolvable)."""
     if not data.startswith(b"%PDF"):
         raise ValueError("not a PDF")
     if b"/Encrypt" in data[:2048] or b"/Encrypt" in data[-2048:]:
         raise ValueError("encrypted PDF")
+    objects = _parse_objects(data)
+    tree = _tree_pages_text(data, objects)
+    if tree is not None:
+        return tree
+    # fallback: document-order stream scan (no page tree)
     pages = []
     for m in _STREAM_RE.finditer(data):
         hdr = m.group(1)
-        start = m.end()
-        end = data.find(b"endstream", start)
-        if end < 0:
+        raw = _frame_stream(data, hdr, m.end(), objects)
+        if raw is None:
             continue
-        raw = data[start:end].rstrip(b"\r\n")
-        if b"/FlateDecode" in hdr:
-            try:
-                raw = zlib.decompress(raw)
-            except zlib.error:
-                continue
-        elif b"/Filter" in hdr:
-            continue  # image/other codec stream — not text
-        if b"BT" not in raw:
+        dec = _inflate(hdr, raw)
+        if dec is None or b"BT" not in dec:
             continue
-        txt = _stream_text(raw)
+        txt = _stream_text(dec)
         if txt.strip():
             pages.append(txt)
     return pages
@@ -171,8 +468,6 @@ def pdf_text_stage(df, pdf_col: str = "pdf", out_col: str = "text"):
 
     import pandas as pd
 
-    cols = df.columns
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf[out_col] = [
@@ -190,13 +485,35 @@ def pdf_text_stage(df, pdf_col: str = "pdf", out_col: str = "text"):
 # deterministic PDF writer (tests/bench corpus — NOT part of extraction)
 # --------------------------------------------------------------------------
 
-def make_pdf(pages: list[str], compress: bool = True) -> bytes:
+def make_pdf(pages: list[str], compress: bool = True,
+             encoding: str | None = None,
+             shuffle_objects: bool = False) -> bytes:
     """Minimal valid single-font PDF with one content stream per page —
     the synthetic stand-in for arXiv PDFs (same role as corpus.py's
     HTML generator). Flate-compressed by default, matching real text
-    PDFs."""
-    def esc(s: str) -> str:
-        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    PDFs.
+
+    ``encoding``: None (Latin-1 literals), "winansi", "macroman"
+    (cp1252/mac-roman literal strings + the matching /Encoding name),
+    or "identity" (Identity-H hex strings, 2-byte codes).
+    ``shuffle_objects``: write objects physically out of order
+    (reverse) while keeping numbering — extraction must use the
+    /Pages tree, not document order, to get page order right."""
+    def esc(b: bytes) -> bytes:
+        return (b.replace(b"\\", rb"\\").replace(b"(", rb"\(")
+                .replace(b")", rb"\)"))
+
+    enc_name = {"winansi": b" /Encoding /WinAnsiEncoding",
+                "macroman": b" /Encoding /MacRomanEncoding",
+                "identity": b" /Encoding /Identity-H"}.get(encoding or "", b"")
+    codec = {"winansi": "cp1252", "macroman": "mac_roman"}.get(encoding or "")
+
+    def show_op(ln: str) -> bytes:
+        if encoding == "identity":
+            h = "".join(f"{ord(c):04X}" for c in ln)
+            return b"<" + h.encode() + b"> Tj"
+        raw = ln.encode(codec) if codec else ln.encode("latin-1")
+        return b"(" + esc(raw) + b") Tj"
 
     objs: list[bytes] = []
     n_pages = len(pages)
@@ -204,16 +521,17 @@ def make_pdf(pages: list[str], compress: bool = True) -> bytes:
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
                 .encode())
-    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                + enc_name + b" >>")
     for i, text in enumerate(pages):
         lines = text.split("\n")
-        ops = ["BT /F1 11 Tf 72 720 Td 13 TL"]
+        ops = [b"BT /F1 11 Tf 72 720 Td 13 TL"]
         for j, ln in enumerate(lines):
             if j:
-                ops.append("T*")
-            ops.append(f"({esc(ln)}) Tj")
-        ops.append("ET")
-        content = " ".join(ops).encode("latin-1")
+                ops.append(b"T*")
+            ops.append(show_op(ln))
+        ops.append(b"ET")
+        content = b" ".join(ops)
         filt = b""
         if compress:
             content = zlib.compress(content)
@@ -225,16 +543,19 @@ def make_pdf(pages: list[str], compress: bool = True) -> bytes:
                     + f"/Length {len(content)} >>\nstream\n".encode()
                     + content + b"\nendstream")
 
+    order = list(range(len(objs)))
+    if shuffle_objects:
+        order = order[::-1]
     out = bytearray(b"%PDF-1.4\n")
-    offsets = [0]
-    for i, o in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += f"{i} 0 obj\n".encode() + o + b"\nendobj\n"
+    offsets = {0: 0}
+    for idx in order:
+        offsets[idx + 1] = len(out)
+        out += f"{idx + 1} 0 obj\n".encode() + objs[idx] + b"\nendobj\n"
     xref_at = len(out)
     out += f"xref\n0 {len(objs) + 1}\n".encode()
     out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
+    for i in range(1, len(objs) + 1):
+        out += f"{offsets[i]:010d} 00000 n \n".encode()
     out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF\n".encode())
     return bytes(out)

