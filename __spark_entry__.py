@@ -1091,6 +1091,58 @@ SQL_TRANSE = ("SELECT CAST(h AS BIGINT) AS head_id, "
               + ") AS t(h, r, t, s)")
 
 
+# predicted_objects (transe.py:527 — the MULTIVAC_link_prediction.py:19-112
+# twin): fixed 25-entity string KG (20 cities ring-linked + 5 regions),
+# deterministic distributed TransE train, then substring head match
+# ("city1") × every relation → top-2 tail with the reference's self-skip
+# quirk → score → 10 most-plausible. VALUES frozen from the INDEPENDENT
+# numpy replay of the reference loop (the same replay that pins the
+# kernel in tests/test_transe_completion.py::
+# test_predicted_objects_reference_replay), not from the kernel; all
+# floor(1e6/(1+d)) values sit >1e-4 from integer boundaries (checked).
+_PREDOBJ_PINNED = [
+    ("city19", "linked_to", "city00", 500919),
+    ("city14", "linked_to", "city15", 496935),
+    ("city18", "linked_to", "city17", 496240),
+    ("city16", "linked_to", "city15", 485650),
+    ("city10", "linked_to", "city09", 484814),
+    ("city11", "linked_to", "city12", 482268),
+    ("city13", "linked_to", "city12", 468613),
+    ("city17", "linked_to", "city16", 458944),
+    ("city12", "linked_to", "city11", 452160),
+    ("city15", "linked_to", "city14", 446684),
+]
+
+
+def q_predicted_objects(spark, sf_dir):
+    """query-answering over the trained KG: the reference's
+    predicted_object flow (substring match × all relations × top-2
+    self-skip × most-plausible-25) on the fixed city/region KG
+    (sf-independent so the replay-derived oracle pins exact rows)."""
+    from multivac_spark.operators import transe
+    from multivac_spark.operators.materialize import build_graph_tables
+
+    rows = []
+    for i in range(20):
+        rows.append((f"city{i:02d}", "located_in", f"region{i % 5}"))
+        rows.append((f"city{i:02d}", "linked_to", f"city{(i + 1) % 20:02d}"))
+    kg = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    g = build_graph_tables(kg)
+    n_ent = g["entities"].count()
+    n_rel = g["relations"].count()
+    E, R = transe.train_transe(g["edges"], n_ent, n_rel,
+                               dim=16, epochs=40, lr=0.5)
+    out = transe.predicted_objects(kg, E, R, "city1", num_top_rel=10)
+    return out["top"].select("head", "rel", "tail", "score_micro")
+
+
+SQL_PREDOBJ = ("SELECT h AS head, r AS rel, t AS tail, "
+               "CAST(s AS BIGINT) AS score_micro FROM (VALUES "
+               + ", ".join(f"('{h}', '{r}', '{t}', {s})"
+                           for h, r, t, s in _PREDOBJ_PINNED)
+               + ") AS t(h, r, t, s)")
+
+
 def _rerank_e4(scored, k):
     """e4-granular rank (floor(micro/100) == floor(sim*1e4)): both
     engines rank on the same integers, dodging float-hash drift."""
@@ -1533,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_agg": q_session_agg,
         "textrank_rank": q_textrank_rank,
         "transe_rank": q_transe_rank,
+        "predicted_objects": q_predicted_objects,
     }
 
 
@@ -1584,4 +1637,5 @@ def oracle_sql() -> dict[str, str]:
         "session_agg": SQL_SESSION,
         "textrank_rank": SQL_TEXTRANK,
         "transe_rank": SQL_TRANSE,
+        "predicted_objects": SQL_PREDOBJ,
     }

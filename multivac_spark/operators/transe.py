@@ -446,49 +446,73 @@ def rank_eval(test_edges: DataFrame, E: np.ndarray, R: np.ndarray,
     training edge list for OpenKE's filtered metrics; None = raw.
 
     Distributed shape: one Arrow pass; per batch, ranks come from one
-    BLAS matmul against the broadcast entity matrix; the filter set
-    rides the same broadcast as a per-(anchor, rel) map. The result is
-    a driver dict of global averages (a bounded 6-number reduce)."""
+    BLAS matmul against the broadcast entity matrix. The filter sets
+    are NOT collected to the driver (the edge list grows with the
+    corpus): they arrive as per-row ``collect_set`` columns via two
+    aggregate-then-join stages on the filter edges — per-(anchor,rel)
+    arrays bounded by that key's true-completion fan-out — and the
+    rank correction is a vectorized flat-gather per batch, not a
+    per-row Python loop. The result is a driver dict of global
+    averages (a bounded 6-number reduce)."""
     import pandas as pd
 
     sc = test_edges.sparkSession.sparkContext
-    filt: dict[tuple[int, int, str], set[int]] = {}
+    test = test_edges.select("head_id", "rel_id", "tail_id")
     if filter_edges is not None:
-        for row in filter_edges.select("head_id", "rel_id",
-                                       "tail_id").collect():
-            filt.setdefault((row["head_id"], row["rel_id"], "t"),
-                            set()).add(row["tail_id"])
-            filt.setdefault((row["tail_id"], row["rel_id"], "h"),
-                            set()).add(row["head_id"])
-    bc = sc.broadcast((E, R, filt))
+        fe = filter_edges.select("head_id", "rel_id", "tail_id")
+        tmask = (fe.groupBy("head_id", "rel_id")
+                 .agg(F.collect_set("tail_id").alias("t_mask")))
+        hmask = (fe.groupBy("tail_id", "rel_id")
+                 .agg(F.collect_set("head_id").alias("h_mask")))
+        test = (test.join(tmask, ["head_id", "rel_id"], "left")
+                .join(hmask, ["tail_id", "rel_id"], "left")
+                .select("head_id", "rel_id", "tail_id",
+                        "t_mask", "h_mask"))
+    else:
+        test = test.select(
+            "head_id", "rel_id", "tail_id",
+            F.lit(None).cast("array<long>").alias("t_mask"),
+            F.lit(None).cast("array<long>").alias("h_mask"))
+    bc = sc.broadcast((E, R))
+
+    def _mask_correction(d2, masks, true_id):
+        """#filtered-out candidates strictly better than the true one,
+        per row — one flat gather over the concatenated mask arrays."""
+        lens = np.array([0 if m is None else len(m) for m in masks],
+                        dtype=np.int64)
+        out = np.zeros(len(lens), dtype=np.int64)
+        if lens.sum() == 0:
+            return out
+        flat = np.concatenate(
+            [np.asarray(m, dtype=np.int64) for m in masks
+             if m is not None and len(m)])
+        rows = np.repeat(np.arange(len(lens)), lens)
+        true_d = d2[np.arange(len(lens)), true_id]
+        hit = (d2[rows, flat] < true_d[rows]) & (flat != true_id[rows])
+        out += np.bincount(rows[hit], minlength=len(lens)).astype(np.int64)
+        return out
 
     def kernel(batches):
-        Eb, Rb, fl = bc.value
+        Eb, Rb = bc.value
         sq = (Eb ** 2).sum(axis=1)
         for pdf in batches:
             h = pdf["head_id"].to_numpy(dtype=np.int64)
             r = pdf["rel_id"].to_numpy(dtype=np.int64)
             t = pdf["tail_id"].to_numpy(dtype=np.int64)
             rows = {"rank": [], "direction": []}
-            for qv, true_id, anchor, direction in (
-                    (Eb[h] + Rb[r], t, h, "t"),
-                    (Eb[t] - Rb[r], h, t, "h")):
+            for qv, true_id, masks, direction in (
+                    (Eb[h] + Rb[r], t, pdf["t_mask"], "t"),
+                    (Eb[t] - Rb[r], h, pdf["h_mask"], "h")):
                 d2 = ((qv ** 2).sum(axis=1)[:, None]
                       - 2.0 * (qv @ Eb.T) + sq[None, :])
-                for i in range(len(h)):
-                    di = d2[i]
-                    true_d = di[true_id[i]]
-                    mask = fl.get((int(anchor[i]), int(r[i]), direction))
-                    n_better = int((di < true_d).sum())
-                    if mask:
-                        n_better -= sum(
-                            1 for m in mask
-                            if m != true_id[i] and di[m] < true_d)
-                    rows["rank"].append(n_better + 1)
-                    rows["direction"].append(direction)
+                true_d = d2[np.arange(len(h)), true_id]
+                n_better = (d2 < true_d[:, None]).sum(axis=1)
+                n_better -= _mask_correction(d2, masks, true_id)
+                rows["rank"].extend((n_better + 1).tolist())
+                rows["direction"].extend([direction] * len(h))
             yield pd.DataFrame(rows)
 
-    ranks = test_edges.select("head_id", "rel_id", "tail_id").mapInPandas(
+    ranks = test.mapInPandas(
         kernel, schema="rank long, direction string")
     agg = ranks.agg(
         F.avg((F.col("rank") <= 1).cast("double")).alias("hits1"),
