@@ -654,6 +654,124 @@ FROM tok LEFT JOIN agg USING (doc_id)
 """
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """END-TO-END web-curation pipeline — the individually-oracled
+    stages composed into one flow (RefinedWeb/CCNet/Gopher shape):
+    source blocklist → per-source cap (10) → bigram-LM quality
+    threshold (trained on the even-doc_id half of the capped set,
+    keep lm_score_e4 ≥ −34500) → repeated-3-gram filter (< 500 e4)
+    → MinHash-LSH dedup (drop the higher doc_id of each candidate
+    pair). Proves the curation operators compose; the DuckDB twin
+    replays every stage in SQL. Thresholds sit >2.7e-4 from floor
+    boundaries at sf0.01 (checked at freeze time).
+
+    Scale shape: broadcast anti-join → keyed window → two bounded aggs
+    + one (w1,w2) equi-join → pure Column expr → band-bucket
+    equi-join; survivors staged once (localCheckpoint) so the dedup
+    branch and the output branch don't recompute the LM pipeline."""
+    from multivac_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = textops.filter_blocklist(docs, ["src1", "src3"],
+                                    key=F.col("source"))
+    capped = textops.cap_per_domain(kept, 10, key=F.col("source"))
+    lm = textops.train_bigram_lm(capped.filter(F.col("doc_id") % 2 == 0))
+    scored = textops.lm_score(capped, lm).select("doc_id", "lm_score_e4")
+    quality = (capped.join(scored, "doc_id")
+               .withColumn("dup3_e4",
+                           textops.dup_ngram_fraction(F.col("text"), 3)))
+    survivors = quality.filter(
+        (F.col("lm_score_e4") >= -34500)
+        & (F.col("dup3_e4") < 500)).localCheckpoint()
+    pairs = dedup.minhash_dup_pairs(survivors, bands=4, rows=2)
+    out = survivors.join(
+        pairs.select(F.col("b").alias("doc_id")).distinct(),
+        "doc_id", "left_anti")
+    return out.select("doc_id", F.col("source").alias("domain"),
+                      "lm_score_e4", "dup3_e4")
+
+
+def _curation_pipeline_sql(bands: int = 4, rows: int = 2, n: int = 3) -> str:
+    """Full-SQL DuckDB twin of q_curation_pipeline: every stage —
+    blocklist, cap, LM train+score, repetition, MinHash banding —
+    replayed over the same documents view."""
+    toks = "list_filter(string_split(text, ' '), t -> t <> '')"
+    sh = (f"CASE WHEN len({toks}) < {n} "
+          f"THEN [array_to_string({toks}, ' ')] "
+          f"ELSE list_transform(generate_series(1, len({toks}) - {n - 1}), "
+          f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]) END")
+    mins = [f"list_min(list_transform({sh}, s -> md5('{i}:' || s))) AS mh{i}"
+            for i in range(bands * rows)]
+    band_selects = []
+    for b in range(bands):
+        key = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS bkey FROM sigs")
+    banded = " UNION ALL ".join(band_selects)
+    g3 = (f"CASE WHEN len(ts3) < {n} THEN [array_to_string(ts3, ' ')] "
+          f"ELSE list_transform(generate_series(1, len(ts3) - {n - 1}), "
+          f"i -> array_to_string(ts3[i:i+{n - 1}], ' ')) END")
+    return f"""
+WITH kept0 AS (
+  SELECT doc_id, source AS domain, text FROM documents
+  WHERE source NOT IN ('src1', 'src3')),
+capped AS (
+  SELECT doc_id, domain, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+    FROM kept0) WHERE rn <= 10),
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM capped),
+train AS (SELECT ts FROM tok WHERE doc_id % 2 = 0),
+bg_train AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2
+  FROM train, LATERAL unnest(generate_series(1, len(ts) - 1)) AS t(i)),
+bigrams AS (SELECT w1, w2, count(*) AS c2 FROM bg_train GROUP BY 1, 2),
+unigrams AS (
+  SELECT w1, count(*) AS c1
+  FROM (SELECT unnest(ts) AS w1 FROM train) GROUP BY 1),
+v AS (SELECT count(*) AS nv FROM unigrams),
+bg_all AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM tok, LATERAL unnest(generate_series(1, len(ts) - 1)) AS t(i)),
+j AS (
+  SELECT bg_all.doc_id,
+         ln((COALESCE(c2, 0) + 1.0)
+            / (COALESCE(c1, 0) + (SELECT CAST(nv AS DOUBLE) FROM v))) AS lp
+  FROM bg_all
+  LEFT JOIN bigrams USING (w1, w2)
+  LEFT JOIN unigrams USING (w1)),
+agg AS (SELECT doc_id, count(*) AS nb, sum(lp) AS s FROM j GROUP BY doc_id),
+scored AS (
+  SELECT capped.doc_id, capped.domain, capped.text,
+         CAST(CASE WHEN COALESCE(agg.nb, 0) = 0 THEN 0
+              ELSE floor(agg.s * 10000 / agg.nb) END AS BIGINT)
+             AS lm_score_e4
+  FROM capped LEFT JOIN agg ON capped.doc_id = agg.doc_id),
+quality AS (
+  SELECT doc_id, domain, text, lm_score_e4,
+         (SELECT CASE WHEN len(g3) <= 0 THEN 0
+                 ELSE CAST(floor((len(g3) - len(list_distinct(g3)))
+                           * 10000 / len(g3)) AS BIGINT) END
+          FROM (SELECT {g3} AS g3
+                FROM (SELECT list_filter(string_split(quality0.text, ' '),
+                                         t -> t <> '') AS ts3))) AS dup3_e4
+  FROM scored AS quality0),
+survivors AS (
+  SELECT doc_id, domain, text, lm_score_e4, dup3_e4 FROM quality
+  WHERE lm_score_e4 >= -34500 AND dup3_e4 < 500),
+sigs AS (SELECT doc_id, {', '.join(mins)} FROM survivors),
+banded AS ({banded}),
+dups AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+SELECT doc_id, domain, lm_score_e4, dup3_e4 FROM survivors
+WHERE doc_id NOT IN (SELECT b FROM dups)
+"""
+
+
 def q_query_match(spark, sf_dir):
     """cosine theta-join of the query-mapping path (get_answers,
     map_queries.py:153-226) — the REAL query.match_parts operator
@@ -1565,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "domain_cap": q_domain_cap,
         "lm_quality": q_lm_quality,
+        "curation_pipeline": q_curation_pipeline,
         "query_match": q_query_match,
         "ann_topk": q_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1617,6 +1736,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": SQL_REPETITION,
         "domain_cap": SQL_DOMAIN_CAP,
         "lm_quality": SQL_LM_QUALITY,
+        "curation_pipeline": _curation_pipeline_sql(),
         "query_match": SQL_QUERY_MATCH,
         "ann_topk": SQL_ANN,
         "embedding_near_dups": SQL_NEAR_DUPS,

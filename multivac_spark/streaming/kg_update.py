@@ -64,6 +64,15 @@ def _write_manifest(counts_dir: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(counts_dir, _MANIFEST))
 
 
+def _version_dirname(batch_id: int) -> str:
+    """Version directory name derived from the batch id — a crashed
+    merge (data written, manifest not swapped) leaves a directory whose
+    name identifies exactly which batch produced it; the foreachBatch
+    RETRY of that same batch overwrites the SAME directory and then
+    swaps the manifest, so no orphan ever survives a completed retry."""
+    return f"b{batch_id:09d}"
+
+
 def read_counts(spark: SparkSession, counts_dir: str,
                 table: str) -> DataFrame | None:
     """Current version of a counts table (``entities`` → (mention,
@@ -71,8 +80,8 @@ def read_counts(spark: SparkSession, counts_dir: str,
     m = _read_manifest(counts_dir)
     if m["version"] < 0:
         return None
-    path = os.path.join(counts_dir, f"v{m['version']:06d}", table)
-    return spark.read.parquet(path)
+    vdir = m.get("dir", f"v{m['version']:06d}")  # pre-round-4 layout
+    return spark.read.parquet(os.path.join(counts_dir, vdir, table))
 
 
 def merge_count_deltas(spark: SparkSession, counts_dir: str,
@@ -82,13 +91,17 @@ def merge_count_deltas(spark: SparkSession, counts_dir: str,
 
     Returns False (no-op) when ``batch_id`` was already applied — the
     idempotence that upgrades foreachBatch's at-least-once to
-    exactly-once under retries."""
+    exactly-once under retries. Crash safety: the version directory is
+    named for the batch (``_version_dirname``) and written BEFORE the
+    manifest swap; a crash between the two leaves an uncommitted
+    directory that the retry of the same batch overwrites in place —
+    readers never observe it (they follow the manifest pointer)."""
     os.makedirs(counts_dir, exist_ok=True)
     m = _read_manifest(counts_dir)
     if batch_id <= m["last_batch_id"]:
         return False
-    version = m["version"] + 1
-    vdir = os.path.join(counts_dir, f"v{version:06d}")
+    vdir_name = _version_dirname(batch_id)
+    vdir = os.path.join(counts_dir, vdir_name)
 
     cur_ent = read_counts(spark, counts_dir, "entities")
     cur_rel = read_counts(spark, counts_dir, "relations")
@@ -101,8 +114,9 @@ def merge_count_deltas(spark: SparkSession, counts_dir: str,
         .write.mode("overwrite").parquet(os.path.join(vdir, "entities")))
     (rel.groupBy("pred").agg(F.sum("cnt").alias("cnt"))
         .write.mode("overwrite").parquet(os.path.join(vdir, "relations")))
-    _write_manifest(counts_dir, {"version": version,
-                                 "last_batch_id": batch_id})
+    _write_manifest(counts_dir, {"version": m["version"] + 1,
+                                 "last_batch_id": batch_id,
+                                 "dir": vdir_name})
     return True
 
 

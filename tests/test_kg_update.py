@@ -85,6 +85,55 @@ def test_merge_is_idempotent_per_batch_id(spark):
         assert got == {("a", 4), ("b", 2)}
 
 
+def test_merge_crash_between_write_and_swap_leaves_no_ambiguity(spark,
+                                                               monkeypatch):
+    """Kill the merge AFTER the data write but BEFORE the manifest swap
+    (the round-3 'orphan v-dir' nit): the manifest must be unchanged,
+    readers must still see the previous version, and the retry of the
+    same batch must overwrite the SAME batch-named directory and commit
+    — exactly one surviving data dir per batch, pointed to by the
+    manifest."""
+    import os
+
+    from multivac_spark.streaming import kg_update
+
+    with tempfile.TemporaryDirectory() as d:
+        delta_e = spark.createDataFrame([("a", 2)], "mention string, cnt long")
+        delta_r = spark.createDataFrame([("r", 3)], "pred string, cnt long")
+        assert merge_count_deltas(spark, d, 0, delta_e, delta_r)
+
+        real_write = kg_update._write_manifest
+
+        def crash(*a, **k):
+            raise RuntimeError("injected crash before manifest swap")
+
+        monkeypatch.setattr(kg_update, "_write_manifest", crash)
+        try:
+            merge_count_deltas(spark, d, 1, delta_e, delta_r)
+        except RuntimeError:
+            pass
+        # manifest still points at batch 0; readers unaffected
+        m = kg_update._read_manifest(d)
+        assert m["last_batch_id"] == 0
+        got = {(r["mention"], r["cnt"])
+               for r in read_counts(spark, d, "entities").collect()}
+        assert got == {("a", 2)}
+        # the orphan is batch-named — the retry will reuse it
+        assert os.path.isdir(os.path.join(d, "b000000001"))
+
+        monkeypatch.setattr(kg_update, "_write_manifest", real_write)
+        assert merge_count_deltas(spark, d, 1, delta_e, delta_r)
+        m = kg_update._read_manifest(d)
+        assert m["last_batch_id"] == 1 and m["dir"] == "b000000001"
+        got = {(r["mention"], r["cnt"])
+               for r in read_counts(spark, d, "entities").collect()}
+        assert got == {("a", 4)}
+        # exactly one data dir per committed batch, no stray versions
+        dirs = sorted(x for x in os.listdir(d)
+                      if os.path.isdir(os.path.join(d, x)))
+        assert dirs == ["b000000000", "b000000001"]
+
+
 def test_refresh_matches_batch_pipeline(spark):
     lex, lemmas = default_lexicons()
     vl = vocab.verb_lemma_table()
