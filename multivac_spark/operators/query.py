@@ -153,18 +153,27 @@ def answer_queries(query_parts: DataFrame,
                    final_triples: DataFrame,
                    embeddings: DataFrame,
                    threshold: float = MATCH_THRESHOLD,
-                   impute: bool = False) -> DataFrame:
+                   impute: bool = False,
+                   model: str = "blend",
+                   transe_opts: dict | None = None) -> DataFrame:
     """Full get_answers analog: match subj/pred/obj parts to canonical
     entities/relations by embedding cosine, then answer from the triple
     table: (head, rel) → tails and (rel, tail) → heads.
 
     With ``impute=True`` the answer set additionally carries the
     link-prediction completions of the reference's ``predict`` path
-    (map_queries.py:90-137, TransE-free analog — operators/linkpred):
-    queries whose rel matched and exactly one of head/tail matched get
-    ``imputed_tail``/``imputed_head`` rows scored in [0, 1e6] (exact KG
-    answers carry score_micro = 1e6), zeroed below predict_triple's
-    0.1 threshold."""
+    (map_queries.py:90-137): queries whose rel matched and exactly one
+    of head/tail matched get ``imputed_tail``/``imputed_head`` rows
+    scored in [0, 1e6] (exact KG answers carry score_micro = 1e6),
+    zeroed below predict_triple's 0.1 threshold.
+
+    ``model`` selects the imputation scorer: ``"blend"`` — the
+    frequency+cosine stand-in (operators/linkpred); ``"transe"`` — a
+    TransE model TRAINED on the KG (operators/transe), which is what
+    the reference actually loads for this path (map_queries.py:90-137
+    ranks with the OpenKE model). ``transe_opts`` forwards dim/epochs/
+    lr/k to the trainer. Held-out completion quality trained ≥ blend
+    is pinned in tests/test_transe_completion.py."""
     entity_vecs = mention_embeddings(
         final_triples.select(F.col("subj").alias("mention"))
         .union(final_triples.select(F.col("obj").alias("mention")))
@@ -224,9 +233,17 @@ def answer_queries(query_parts: DataFrame,
                      F.col("head_ent").alias("head"),
                      F.col("rel_match").alias("pred"),
                      F.col("tail_ent").alias("tail")))
-    imputed = (predict_completions(final_triples, embeddings,
-                                   cands.select("query_id", "head",
-                                                "pred", "tail"))
+    if model == "transe":
+        from .transe import predict_completions_transe
+        raw = predict_completions_transe(
+            final_triples,
+            cands.select("query_id", "head", "pred", "tail"),
+            **(transe_opts or {})).drop("rank")
+    else:
+        raw = predict_completions(final_triples, embeddings,
+                                  cands.select("query_id", "head",
+                                               "pred", "tail"))
+    imputed = (raw
                .join(F.broadcast(cands.select("query_id", "query")
                                  .distinct()), "query_id")
                .select("query_id", "query", "head",

@@ -200,3 +200,73 @@ def test_rank_eval_exact_on_handcrafted_embeddings(spark):
                                   "head_id long, rel_id long, tail_id long")
     m3 = transe.rank_eval(spark_df, E2, R, filter_edges=known)
     assert m3["mean_rank"] == 1.0
+
+
+def test_get_answers_transe_beats_blend_on_heldout(spark):
+    """The query-mapping path with model='transe' (the reference's
+    actual method: map_queries.py:90-137 ranks with the trained OpenKE
+    model) must place held-out true completions at least as high as
+    the frequency+cosine blend stand-in.
+
+    KG: every city has located_in → its region; 14/20 cities also have
+    the PARALLEL governed_by → same region (r_gov ≈ r_loc is exactly
+    the structure TransE composes); governed_by is held out for the
+    last 6 cities. The blend's frequency model cannot condition on the
+    head at all, so its true-answer rank is ~uniform over regions."""
+    from pyspark.sql import functions as F
+
+    from multivac_spark.operators.query import answer_queries
+
+    rows, held = [], {}
+    for i in range(20):
+        city, region = f"city{i:02d}", f"region{i % 5}"
+        rows.append((city, "located_in", region))
+        if i < 14:
+            rows.append((city, "governed_by", region))
+        else:
+            held[city] = region
+        rows.append((city, "linked_to", f"city{(i + 1) % 20:02d}"))
+    kg = spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+    # token embeddings: deterministic near-orthogonal unit vectors so
+    # part→entity matching is exact-token only (cos ≈ 0 across tokens)
+    toks = sorted({w for r in rows for w in r})
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(len(toks), 32))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(t, [float(x) for x in vecs[i]]) for i, t in enumerate(toks)],
+        "token string, vector array<float>")
+
+    parts = spark.createDataFrame(
+        [(f"q{i}", f"where {c}", c, "governed_by", None)
+         for i, c in enumerate(sorted(held))],
+        "query_id string, query string, q_subj string, q_pred string, "
+        "q_obj string")
+
+    def true_answer_ranks(model, **kw):
+        res = answer_queries(parts, kg, emb, impute=True, model=model,
+                             **kw).collect()
+        by_q = {}
+        for r in res:
+            if r["slot"] == "imputed_tail":
+                by_q.setdefault(r["query_id"], []).append(
+                    (-r["score_micro"], r["answer"]))
+        ranks = []
+        for i, c in enumerate(sorted(held)):
+            cands = sorted(by_q.get(f"q{i}", []))
+            names = [a for _s, a in cands]
+            truth = held[c]
+            ranks.append(names.index(truth) + 1 if truth in names
+                         else len(names) + 2)
+        return ranks
+
+    blend = true_answer_ranks("blend")
+    trained = true_answer_ranks(
+        "transe", transe_opts={"dim": 16, "epochs": 60, "lr": 0.5,
+                               "k": 25})
+    assert len(trained) == len(blend) == 6
+    # trained must be at least as good on average, and genuinely sharp
+    assert float(np.mean(trained)) <= float(np.mean(blend)), (trained,
+                                                              blend)
+    assert float(np.mean(trained)) <= 3.0, trained
