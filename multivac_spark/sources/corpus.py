@@ -405,9 +405,13 @@ def pdf_documents_df(spark, n_docs: int, partitions: int | None = None):
             .mapInPandas(gen, schema=PDF_DOCUMENTS_SCHEMA))
 
 
-def documents_df(spark, n_docs: int, partitions: int | None = None):
+def documents_df(spark, n_docs: int, partitions: int | None = None,
+                 start: int = 0):
     """Distributed generation: spark.range → mapInPandas, one seeded row
-    per index. No driver-side loop, no collect — generation itself scales."""
+    per index. No driver-side loop, no collect — generation itself
+    scales. ``start`` shifts the index range (disjoint delta batches
+    for incremental-ingest benches: ``documents_df(s, n, start=m)``
+    generates docs m..m+n-1)."""
     parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
 
     def gen(batches):
@@ -415,7 +419,7 @@ def documents_df(spark, n_docs: int, partitions: int | None = None):
             rows = [gen_document(int(i)) for i in pdf["id"]]
             yield pd.DataFrame(rows)
 
-    return (spark.range(0, n_docs, numPartitions=parts)
+    return (spark.range(start, start + n_docs, numPartitions=parts)
             .mapInPandas(gen, schema=DOCUMENTS_SCHEMA))
 
 
