@@ -146,7 +146,7 @@ def main() -> None:
         "token_count", "quality_score", "langid", "fingerprint",
         "minhash_signature", "simhash", "ngram_jaccard",
         "ann_topk", "embedding_near_dups", "exact_dedup",
-        "session_agg",
+        "session_agg", "curation_pipeline",
     ]
     qmap = entrymod.queries()
     for name in bench_queries:
