@@ -25,11 +25,13 @@ pure-Python extractor suitable for executors:
   (with escape and octal handling) and hex ``<…>`` strings under the
   ``Tj``/``TJ``/``'``/``"`` operators, with line operators
   (``Td``/``TD``/``T*``) contributing separators;
-* simple font encodings are honored per ``Tf`` font selection:
+* font encodings are honored per ``Tf`` font selection:
   ``/WinAnsiEncoding`` (cp1252), ``/MacRomanEncoding`` (mac-roman),
-  ``/Identity-H`` (2-byte big-endian codes), default Latin-1/Standard.
-  Embedded-subset fonts with custom CMaps still decode as garbage —
-  PDFMiner without a ToUnicode CMap does too.
+  ``/Identity-H`` (2-byte big-endian codes), default Latin-1/Standard
+  — and **/ToUnicode CMaps** (bfchar + bfrange scalar/array forms,
+  codespace-derived code width), so embedded-subset fonts decode to
+  real text, same as PDFMiner's CMap path. Subset fonts WITHOUT a
+  ToUnicode CMap remain undecodable — for every extractor.
 
 Encrypted PDFs raise, so ``pdf_to_text`` returns None, matching the
 reference's blanket ``except: text = None``.
@@ -60,6 +62,60 @@ _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
 _ENCODINGS = {b"/WinAnsiEncoding": "winansi",
               b"/MacRomanEncoding": "macroman",
               b"/Identity-H": "identity"}
+
+_CMAP_BFCHAR_RE = re.compile(
+    rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_CMAP_BFRANGE_RE = re.compile(
+    rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_CMAP_CODESPACE_RE = re.compile(
+    rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.DOTALL)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_HEXTRIPLE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+    rb"(<[0-9A-Fa-f]+>|\[(?:\s*<[0-9A-Fa-f]+>)*\s*\])")
+
+
+def _uni(hexstr: bytes) -> str:
+    """CMap destination hex → str (UTF-16BE code units, possibly
+    multi-char for ligature expansions)."""
+    b = bytes.fromhex(hexstr.decode("ascii"))
+    if len(b) % 2:
+        b = b"\x00" + b
+    return b.decode("utf-16-be", "replace")
+
+
+def parse_tounicode_cmap(data: bytes) -> tuple[dict[int, str], int]:
+    """ToUnicode CMap stream → ({code: text}, code byte-width).
+
+    Handles ``bfchar`` pairs, ``bfrange`` with scalar or array
+    destinations, and reads the code width from the codespace range
+    (2-byte is the subset-font norm). Public-spec format (PDF 32000
+    §9.10.3 / Adobe CMap spec) — the piece PDFMiner needs to decode
+    embedded-subset fonts, previously a documented scope limit."""
+    width = 2
+    m = _CMAP_CODESPACE_RE.search(data)
+    if m:
+        width = max(1, len(m.group(1)) // 2)
+    table: dict[int, str] = {}
+    for block in _CMAP_BFRANGE_RE.finditer(data):
+        for r in _HEXTRIPLE_RE.finditer(block.group(1)):
+            lo, hi = int(r.group(1), 16), int(r.group(2), 16)
+            dst = r.group(3)
+            if dst.startswith(b"["):
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", dst)
+                for i, d in enumerate(dsts):
+                    if lo + i <= hi:
+                        table[lo + i] = _uni(d)
+            else:
+                base_hex = dst[1:-1]
+                base = int(base_hex, 16)
+                for c in range(lo, hi + 1):
+                    table[c] = chr(base + (c - lo)) \
+                        if len(base_hex) <= 4 else _uni(base_hex)
+    for block in _CMAP_BFCHAR_RE.finditer(data):
+        for p in _HEXPAIR_RE.finditer(block.group(1)):
+            table[int(p.group(1), 16)] = _uni(p.group(2))
+    return table, width
 
 
 def _decode_literal(body: bytes) -> bytes:
@@ -97,8 +153,16 @@ def _decode_hexbody(body: bytes) -> bytes:
         return b""
 
 
-def _decode_bytes(b: bytes, enc: str) -> str:
-    """Glyph bytes → str under a simple-font encoding tag."""
+def _decode_bytes(b: bytes, enc) -> str:
+    """Glyph bytes → str under a simple-font encoding tag or a
+    ("cmap", table, width) ToUnicode mapping."""
+    if isinstance(enc, tuple):
+        _tag, table, width = enc
+        if len(b) % width:
+            b = b + b"\x00" * (width - len(b) % width)
+        return "".join(
+            table.get(int.from_bytes(b[i:i + width], "big"), "�")
+            for i in range(0, len(b), width))
     if enc == "identity":
         # Identity-H: 2-byte big-endian character codes (CID == code).
         if len(b) % 2:
@@ -112,7 +176,8 @@ def _decode_bytes(b: bytes, enc: str) -> str:
     return b.decode("latin-1")
 
 
-def _stream_text(data: bytes, fonts: dict[bytes, str] | None = None) -> str:
+def _stream_text(data: bytes, fonts: dict[bytes, object] | None = None
+                 ) -> str:
     """One decoded content stream → its text (BT/ET blocks only).
 
     ``fonts`` maps resource font names (e.g. b"F1") to encoding tags;
@@ -303,8 +368,24 @@ def _name_ref(d: bytes, key: bytes) -> int | None:
     return int(m.group(1)) if m else None
 
 
-def _page_fonts(objects: dict, page_dict: bytes) -> dict[bytes, str]:
-    """Resolve /Resources → /Font → per-name /Encoding tags."""
+def _object_stream(data: bytes, objects: dict, num: int) -> bytes | None:
+    """Decoded stream body of object ``num`` (None if not a stream)."""
+    o = objects.get(num)
+    if o is None or o[1] < 0:
+        return None
+    d = _scan_dict(o[0], 0)
+    hdr = d[0] if d else b""
+    raw = _frame_stream(data, hdr, o[1], objects)
+    if raw is None:
+        return None
+    return _inflate(hdr, raw)
+
+
+def _page_fonts(objects: dict, page_dict: bytes,
+                data: bytes = b"") -> dict[bytes, object]:
+    """Resolve /Resources → /Font → per-name encoding: a /ToUnicode
+    CMap when present (embedded-subset fonts), else the named
+    /Encoding tag."""
     rm = re.search(rb"/Resources\s*", page_dict)
     if not rm:
         return {}
@@ -328,11 +409,19 @@ def _page_fonts(objects: dict, page_dict: bytes) -> dict[bytes, str]:
         fd = _dict_of(objects, int(ref.group(1))) if ref else None
     if not fd:
         return {}
-    fonts: dict[bytes, str] = {}
+    fonts: dict[bytes, object] = {}
     for m in re.finditer(rb"/([A-Za-z][A-Za-z0-9]*)\s+(\d+)\s+\d+\s+R", fd):
         font_dict = _dict_of(objects, int(m.group(2)))
         if font_dict is None:
             continue
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", font_dict)
+        if tm:
+            cm = _object_stream(data, objects, int(tm.group(1)))
+            if cm is not None:
+                table, width = parse_tounicode_cmap(cm)
+                if table:
+                    fonts[m.group(1)] = ("cmap", table, width)
+                    continue
         em = re.search(rb"/Encoding\s*(/[A-Za-z0-9\-]+)", font_dict)
         if em and em.group(1) in _ENCODINGS:
             fonts[m.group(1)] = _ENCODINGS[em.group(1)]
@@ -385,7 +474,7 @@ def _tree_pages_text(data: bytes,
         if not cm:
             continue
         refs = [int(r.group(1)) for r in _REF_RE.finditer(cm.group(1))]
-        fonts = _page_fonts(objects, pd)
+        fonts = _page_fonts(objects, pd, data)
         chunks: list[str] = []
         for ref in refs:
             o = objects.get(ref)
@@ -495,7 +584,12 @@ def make_pdf(pages: list[str], compress: bool = True,
 
     ``encoding``: None (Latin-1 literals), "winansi", "macroman"
     (cp1252/mac-roman literal strings + the matching /Encoding name),
-    or "identity" (Identity-H hex strings, 2-byte codes).
+    "identity" (Identity-H hex strings, 2-byte codes), or "subset" —
+    an embedded-subset-style font: every distinct character gets a
+    sequential 2-byte CID (1, 2, …) in first-appearance order and the
+    font carries a /ToUnicode CMap stream (bfchar pairs) mapping CIDs
+    back to text, exactly the case that decodes as garbage without
+    CMap support.
     ``shuffle_objects``: write objects physically out of order
     (reverse) while keeping numbering — extraction must use the
     /Pages tree, not document order, to get page order right."""
@@ -508,7 +602,17 @@ def make_pdf(pages: list[str], compress: bool = True,
                 "identity": b" /Encoding /Identity-H"}.get(encoding or "", b"")
     codec = {"winansi": "cp1252", "macroman": "mac_roman"}.get(encoding or "")
 
+    cids: dict[str, int] = {}
+    if encoding == "subset":
+        for text in pages:
+            for c in text.replace("\n", ""):
+                cids.setdefault(c, len(cids) + 1)
+        enc_name = b" /Encoding /Identity-H /ToUnicode 4 0 R"
+
     def show_op(ln: str) -> bytes:
+        if encoding == "subset":
+            h = "".join(f"{cids[c]:04X}" for c in ln)
+            return b"<" + h.encode() + b"> Tj"
         if encoding == "identity":
             h = "".join(f"{ord(c):04X}" for c in ln)
             return b"<" + h.encode() + b"> Tj"
@@ -517,12 +621,29 @@ def make_pdf(pages: list[str], compress: bool = True,
 
     objs: list[bytes] = []
     n_pages = len(pages)
-    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
+    extra = 1 if encoding == "subset" else 0
+    first_page_obj = 4 + extra
+    kids = " ".join(f"{first_page_obj + 2 * i} 0 R" for i in range(n_pages))
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
                 .encode())
-    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+    objs.append(b"<< /Type /Font /Subtype /Type0 /BaseFont /Subset+F"
+                + enc_name + b" >>" if encoding == "subset" else
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
                 + enc_name + b" >>")
+    if encoding == "subset":
+        bf = "\n".join(f"<{cid:04X}> <{ord(c):04X}>"
+                       for c, cid in sorted(cids.items(),
+                                            key=lambda kv: kv[1]))
+        cmap = ("/CIDInit /ProcSet findresource begin\n"
+                "begincmap\n"
+                "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+                f"{len(cids)} beginbfchar\n{bf}\nendbfchar\n"
+                "endcmap\nend").encode("latin-1")
+        cmap_z = zlib.compress(cmap)
+        objs.append(b"<< /Filter /FlateDecode /Length "
+                    + str(len(cmap_z)).encode()
+                    + b" >>\nstream\n" + cmap_z + b"\nendstream")
     for i, text in enumerate(pages):
         lines = text.split("\n")
         ops = [b"BT /F1 11 Tf 72 720 Td 13 TL"]
@@ -538,7 +659,7 @@ def make_pdf(pages: list[str], compress: bool = True,
             filt = b"/Filter /FlateDecode "
         objs.append(f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
                     f"/Resources << /Font << /F1 3 0 R >> >> "
-                    f"/Contents {5 + 2 * i} 0 R >>".encode())
+                    f"/Contents {first_page_obj + 1 + 2 * i} 0 R >>".encode())
         objs.append(b"<< " + filt
                     + f"/Length {len(content)} >>\nstream\n".encode()
                     + content + b"\nendstream")

@@ -308,3 +308,32 @@ def test_pdf_encodings_fixture():
     pages = ["alpha one", "bravo two", "charlie three"]
     got = pdf_pages_text(make_pdf(pages, shuffle_objects=True))
     assert [" ".join(g.split()) for g in got] == pages
+
+
+def test_pdf_tounicode_subset_font_roundtrip():
+    """Embedded-subset-style fonts (sequential CIDs + /ToUnicode CMap)
+    decode to real text — the last documented PDF scope limit. Also
+    exercised with shuffled object order so the CMap stream is
+    resolved through the object table, not document order."""
+    pages = ["Hello subset world ✓ Ωmega", "page two — naïve"]
+    for shuffle in (False, True):
+        data = make_pdf(pages, encoding="subset", shuffle_objects=shuffle)
+        got = pdf_pages_text(data)
+        assert [" ".join(g.split()) for g in got] == pages
+
+
+def test_parse_tounicode_cmap_forms():
+    """bfchar pairs, bfrange with scalar base and array destinations
+    (incl. multi-char ligature expansion), codespace width."""
+    from multivac_spark.sources.pdftext import parse_tounicode_cmap
+    cmap = (b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"2 beginbfrange\n"
+            b"<0010> <0012> <0041>\n"
+            b"<0020> <0021> [<00660066> <0041>]\n"
+            b"endbfrange\n"
+            b"1 beginbfchar\n<0001> <20AC>\nendbfchar\n")
+    table, width = parse_tounicode_cmap(cmap)
+    assert width == 2
+    assert [table[c] for c in (0x10, 0x11, 0x12)] == ["A", "B", "C"]
+    assert table[0x20] == "ff" and table[0x21] == "A"  # array + ligature
+    assert table[0x01] == "€"
