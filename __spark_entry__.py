@@ -772,6 +772,151 @@ WHERE doc_id NOT IN (SELECT b FROM dups)
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """C4-style PII scrubbing (textops.scrub_pii/pii_count): each doc
+    is augmented with a deterministic email + IPv4 + phone built from
+    its doc_id (the driver corpus carries no PII), scrubbed with the
+    chained typed-placeholder regexes, and audited. Pure Column
+    regexp chain — JVM-side, no shuffle; the oracle replays the same
+    RE2-compatible patterns."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 10.0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7 call +1 (555) 010-"),
+        (F.col("doc_id") % 9000 + 1000).cast("string"), F.lit(" now"))
+    return docs.select("doc_id",
+                       textops.scrub_pii(aug).alias("scrubbed"),
+                       textops.pii_count(aug).alias("n_pii"))
+
+
+def _pii_sql() -> str:
+    # DuckDB single-quoted strings are NOT backslash-escaped: the
+    # pattern goes in verbatim (only quotes doubled)
+    pats = [(p.replace("'", "''"), r) for _k, p, r in textops.PII_PATTERNS]
+    aug = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+           "'@mail.example.com or 10.0.' || "
+           "CAST(doc_id % 200 AS VARCHAR) || "
+           "'.7 call +1 (555) 010-' || "
+           "CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' now'")
+    t0 = "t0"
+    scrub_cols, count_terms, cur = [], [], t0
+    for i, (pat, repl) in enumerate(pats):
+        count_terms.append(f"len(regexp_extract_all({cur}, '{pat}'))")
+        nxt = f"t{i + 1}"
+        scrub_cols.append(
+            f"regexp_replace({cur}, '{pat}', '{repl}', 'g') AS {nxt}")
+        cur = nxt
+    return f"""
+WITH aug AS (SELECT doc_id, {aug} AS t0 FROM documents),
+s1 AS (SELECT doc_id, t0, {scrub_cols[0]} FROM aug),
+s2 AS (SELECT doc_id, t0, t1, {scrub_cols[1]} FROM s1),
+s3 AS (SELECT doc_id, t0, t1, t2, {scrub_cols[2]} FROM s2)
+SELECT doc_id, t3 AS scrubbed,
+       CAST({' + '.join(count_terms)} AS BIGINT) AS n_pii
+FROM s3
+"""
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """RefinedWeb-style line-wise boilerplate removal
+    (textops.remove_common_lines): docs are augmented with a
+    per-source subscribe banner and a 3-way promo line (both cross-doc
+    common) around the unique body + a unique ref line; lines in ≥5
+    docs are dropped and the document is rebuilt in original line
+    order. One count-distinct agg + broadcast anti-join + one ordered
+    rebuild — never pairwise."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.lit("subscribe to "), F.col("source"),
+                 F.lit(" newsletter | promo "),
+                 (F.col("doc_id") % 3).cast("string"),
+                 F.lit(" | "), F.col("text"), F.lit(" | ref "),
+                 F.col("doc_id").cast("string")).alias("text"))
+    return textops.remove_common_lines(aug, min_docs=5, sep=" | ")
+
+
+SQL_BOILERPLATE = """
+WITH aug AS (
+  SELECT doc_id,
+         'subscribe to ' || source || ' newsletter | promo '
+           || CAST(doc_id % 3 AS VARCHAR) || ' | ' || text
+           || ' | ref ' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents),
+lines AS (
+  SELECT doc_id, i AS idx, ls[i] AS line
+  FROM (SELECT doc_id, string_split(t, ' | ') AS ls FROM aug),
+       LATERAL unnest(generate_series(1, len(ls))) AS u(i)),
+common AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING count(DISTINCT doc_id) >= 5),
+kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM common))
+SELECT doc_id, string_agg(line, ' | ' ORDER BY idx) AS text,
+       CAST(count(*) AS BIGINT) AS n_lines_kept
+FROM kept GROUP BY doc_id
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """benchmark decontamination (textops.decontaminate): docs sharing
+    ANY token 8-gram with the 'benchmark' slice (doc_id % 50 = 0) are
+    dropped. Shingle-keyed equi-join against the broadcast benchmark
+    gram set + one anti-join — never a pairwise comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return (textops.decontaminate(docs, bench, n=8)
+            .select("doc_id", "source"))
+
+
+def _decontaminate_sql(n: int = 8) -> str:
+    toks = "list_filter(string_split(text, ' '), t -> t <> '')"
+    grams = (f"CASE WHEN len({toks}) < {n} "
+             f"THEN [array_to_string({toks}, ' ')] "
+             f"ELSE list_transform(generate_series(1, len({toks}) - {n - 1}),"
+             f" i -> array_to_string({toks}[i:i+{n - 1}], ' ')) END")
+    return f"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct({grams})) AS g FROM documents),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench))
+SELECT doc_id, source FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
+# training-mix reweighting rates (curation metadata; oracle replays
+# the identical md5-hex/2^32 uniform draw — no RNG, engine-portable)
+_MIX_RATES = {"src0": 0.9, "src1": 0.6, "src2": 0.3, "src3": 0.05}
+_MIX_DEFAULT = 0.15
+
+
+def q_mixture_sample(spark, sf_dir):
+    """deterministic corpus-mixture sampling (textops.mixture_sample):
+    keep each doc with its source's target rate via the md5-derived
+    uniform draw on doc_id. Broadcast rates join + one narrow filter;
+    identical keep-set on every run, engine, and partitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    return (textops.mixture_sample(docs, _MIX_RATES,
+                                   default_rate=_MIX_DEFAULT)
+            .select("doc_id", "source"))
+
+
+def _mixture_sql() -> str:
+    vals = ", ".join(f"('{k}', {v})" for k, v in _MIX_RATES.items())
+    return f"""
+WITH r AS (SELECT * FROM (VALUES {vals}) AS t(source, rate)),
+j AS (SELECT d.doc_id, d.source, COALESCE(r.rate, {_MIX_DEFAULT}) AS rate
+      FROM documents d LEFT JOIN r USING (source))
+SELECT doc_id, source FROM j
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0 < rate
+"""
+
+
 def q_query_match(spark, sf_dir):
     """cosine theta-join of the query-mapping path (get_answers,
     map_queries.py:153-226) — the REAL query.match_parts operator
@@ -1684,6 +1829,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "lm_quality": q_lm_quality,
         "curation_pipeline": q_curation_pipeline,
+        "pii_scrub": q_pii_scrub,
+        "boilerplate_lines": q_boilerplate_lines,
+        "decontaminate": q_decontaminate,
+        "mixture_sample": q_mixture_sample,
         "query_match": q_query_match,
         "ann_topk": q_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1737,6 +1886,10 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": SQL_DOMAIN_CAP,
         "lm_quality": SQL_LM_QUALITY,
         "curation_pipeline": _curation_pipeline_sql(),
+        "pii_scrub": _pii_sql(),
+        "boilerplate_lines": SQL_BOILERPLATE,
+        "decontaminate": _decontaminate_sql(),
+        "mixture_sample": _mixture_sql(),
         "query_match": SQL_QUERY_MATCH,
         "ann_topk": SQL_ANN,
         "embedding_near_dups": SQL_NEAR_DUPS,

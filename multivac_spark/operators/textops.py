@@ -199,3 +199,141 @@ def dup_ngram_fraction(col: Column, n: int = 5) -> Column:
     distinct = F.size(F.array_distinct(sh))
     return F.when(total <= 0, F.lit(0)).otherwise(
         F.floor((total - distinct) * 10_000 / total)).cast("long")
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (C4/RefinedWeb-style pre-training hygiene)
+# --------------------------------------------------------------------------
+
+# Order matters: emails before IPs before phones — the phone pattern
+# would otherwise consume dotted IPs. Patterns restricted to syntax
+# with identical semantics in Java regex (Spark) and RE2 (DuckDB), so
+# the oracle replays them verbatim.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d\s().-]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Replace emails / IPv4s / international-format phone numbers with
+    typed placeholders (the C4-style PII pass every web-scale corpus
+    runs before training). Pure chained ``regexp_replace`` Column
+    expression — JVM-side, no UDF, no shuffle."""
+    out = col
+    for _kind, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_count(col: Column) -> Column:
+    """Total PII hits per document (audit metric for the scrub pass).
+    Counted on the progressively-scrubbed text with the same pattern
+    order, so overlapping matches are attributed once."""
+    total = F.lit(0)
+    cur = col
+    for _kind, pat, repl in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        cur = F.regexp_replace(cur, pat, repl)
+    return total.cast("long")
+
+
+# --------------------------------------------------------------------------
+# boilerplate line removal (RefinedWeb line-wise dedup shape)
+# --------------------------------------------------------------------------
+
+def remove_common_lines(docs, min_docs: int, sep: str = "\n",
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Drop every line that occurs in ≥ ``min_docs`` distinct documents
+    (nav bars, cookie banners, subscribe prompts — RefinedWeb's
+    line-wise dedup), preserving each document's remaining line order.
+
+    → (id, text, n_lines_kept). Scale shape: posexplode → one
+    count-distinct agg keyed on the line (map-side combinable; the
+    common-line table is small — boilerplate is by definition
+    high-frequency, so the anti-join side is broadcastable) → one
+    groupBy(id) rebuild sorted by original position. Never compares
+    documents pairwise."""
+    lines = docs.select(
+        F.col(id_col),
+        # \Q…\E: the separator is a literal, not a regex
+        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E"))
+        .alias("_idx", "_line"))
+    common = (lines.groupBy("_line")
+              .agg(F.count_distinct(id_col).alias("_nd"))
+              .filter(F.col("_nd") >= min_docs)
+              .select("_line"))
+    kept = lines.join(F.broadcast(common), "_line", "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(
+                        F.struct("_idx", "_line"))).alias("_ls"))
+               .select(
+                   id_col,
+                   F.array_join(
+                       F.transform("_ls", lambda s: s["_line"]),
+                       sep).alias(text_col),
+                   F.size("_ls").cast("long").alias("n_lines_kept")))
+    return rebuilt
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap removal)
+# --------------------------------------------------------------------------
+
+def decontaminate(docs, benchmark, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Drop every document sharing ANY token ``n``-gram with the
+    benchmark corpus — the test-set decontamination pass training
+    pipelines run so eval data never leaks into training data.
+
+    Scale shape: both sides explode to distinct hashed shingles; the
+    overlap check is a shingle-keyed equi-join (the benchmark side is
+    eval-set-sized → broadcastable), then one anti-join on the doc id.
+    Never a pairwise document comparison."""
+    from .dedup import shingles
+
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n)))
+        .alias("_sh"))
+    bench_sh = (benchmark
+                .select(F.explode(F.array_distinct(
+                    shingles(F.col(text_col), n))).alias("_sh"))
+                .distinct())
+    contaminated = (doc_sh.join(F.broadcast(bench_sh), "_sh")
+                    .select(id_col).distinct())
+    return docs.join(contaminated, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# deterministic mixture sampling (corpus-weighting for training mixes)
+# --------------------------------------------------------------------------
+
+def hash_uniform(col: Column) -> Column:
+    """Deterministic uniform-[0,1) draw per key: first 8 md5 hex chars
+    → 32-bit integer / 2^32. Identical arithmetic is replayable in any
+    engine with md5 — no RNG state, no seed coordination across
+    executors, stable under retries and repartitioning."""
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+            .cast("double") / F.lit(4294967296.0))
+
+
+def mixture_sample(docs, rates: dict[str, float],
+                   key_col: str = "source", id_col: str = "doc_id",
+                   default_rate: float = 0.0):
+    """Keep each document with its source's target probability
+    (training-mix reweighting: upsample curated sources, downsample
+    crawl tails) using the deterministic ``hash_uniform`` draw on the
+    doc id. The rates table is curation metadata → broadcast join; the
+    filter is one narrow pass, repeatable across runs and engines."""
+    spark = docs.sparkSession
+    rt = F.broadcast(spark.createDataFrame(
+        [(k, float(v)) for k, v in rates.items()],
+        f"{key_col} string, _rate double"))
+    return (docs.join(rt, key_col, "left")
+            .withColumn("_rate", F.coalesce("_rate",
+                                            F.lit(float(default_rate))))
+            .filter(hash_uniform(F.col(id_col)) < F.col("_rate"))
+            .drop("_rate"))

@@ -1,0 +1,91 @@
+"""Round-4 curation operators: PII scrubbing, boilerplate line
+removal, benchmark decontamination, deterministic mixture sampling
+(operators/textops.py). Each is a standard web-scale pre-training
+hygiene pass (C4 / RefinedWeb / test-set-decontamination shape)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from multivac_spark.operators import textops
+
+
+def test_scrub_pii_and_count(spark):
+    rows = [
+        (1, "mail a.b+c@ex-y.co.uk or 192.168.1.2 ring +1 (555) 010-1234"),
+        (2, "no pii here at all"),
+        (3, "double x@y.io and z@w.org plus 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["s"], r["n"]) for r in df.select(
+        "doc_id", textops.scrub_pii(F.col("text")).alias("s"),
+        textops.pii_count(F.col("text")).alias("n")).collect()}
+    assert got[1] == ("mail <EMAIL> or <IP> ring <PHONE>", 3)
+    assert got[2] == ("no pii here at all", 0)
+    assert got[3] == ("double <EMAIL> and <EMAIL> plus <IP>", 3)
+
+
+def test_scrub_pii_ip_not_eaten_by_phone(spark):
+    """Pattern ORDER is load-bearing: the phone pattern would match a
+    dotted IP if IPs weren't scrubbed first."""
+    df = spark.createDataFrame([(1, "+192.168.250.100 cluster")],
+                               "doc_id long, text string")
+    s = df.select(textops.scrub_pii(F.col("text")).alias("s")) \
+        .collect()[0]["s"]
+    assert "<IP>" in s and "<PHONE>" not in s
+
+
+def test_remove_common_lines(spark):
+    """Boilerplate (≥ min_docs docs) goes; unique lines stay in
+    original order."""
+    rows = [(i, f"subscribe now | body text {i} | ref {i} | footer")
+            for i in range(6)]
+    rows.append((99, "subscribe now | unique solo"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_lines_kept"])
+           for r in textops.remove_common_lines(df, min_docs=5,
+                                                sep=" | ").collect()}
+    for i in range(6):
+        assert got[i] == (f"body text {i} | ref {i}", 2)
+    assert got[99] == ("unique solo", 1)
+
+
+def test_decontaminate_drops_ngram_overlap(spark):
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        "bid long, text string")
+    docs = spark.createDataFrame(
+        [(1, "prefix the quick brown fox jumps over the lazy dog "
+             "tonight suffix"),                       # contains the 8-gram
+         (2, "the quick brown fox sat still"),        # only shorter overlap
+         (3, "completely different content words")],
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in
+                  textops.decontaminate(docs, bench, n=8).collect())
+    assert kept == [2, 3]
+
+
+def test_mixture_sample_deterministic_and_rate_shaped(spark):
+    df = spark.createDataFrame(
+        [(i, "srcA" if i % 2 == 0 else "srcB") for i in range(2000)],
+        "doc_id long, source string")
+    rates = {"srcA": 0.8, "srcB": 0.1}
+    kept = textops.mixture_sample(df, rates).collect()
+    by_src = {"srcA": 0, "srcB": 0}
+    for r in kept:
+        by_src[r["source"]] += 1
+        # exact membership criterion replayable from first principles
+        u = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8],
+                16) / 2 ** 32
+        assert u < rates[r["source"]]
+    # 1000 draws per source; binomial 3σ bounds
+    assert 740 <= by_src["srcA"] <= 860, by_src
+    assert 70 <= by_src["srcB"] <= 130, by_src
+    # determinism: a second run returns the identical set
+    again = textops.mixture_sample(df, rates).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in kept}
+    # unknown source with default_rate=0 drops everything
+    extra = spark.createDataFrame([(5, "srcC")], "doc_id long, source string")
+    assert textops.mixture_sample(extra, rates).count() == 0
