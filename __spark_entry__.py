@@ -917,6 +917,78 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
 """
 
 
+# shared 60-token "license block" appended to every 7th doc — the
+# repeated-substring fixture for the Lee-et-al.-shape span dedup
+_LICENSE_BLOCK = " ".join(f"lic{i}" for i in range(60))
+
+
+def q_repeated_spans(spark, sf_dir):
+    """exact substring-level dedup (dedup.remove_repeated_spans — the
+    'Deduplicating Training Data' fixed-window shape): every 7th doc
+    carries the same appended 60-token license block; every 50-token
+    window occurring more than once corpus-wide is removed from all
+    but its canonical (min doc_id, pos) occurrence, so the block
+    survives only in doc 0 and every other carrier loses exactly its
+    60 block tokens. The pass ALSO catches the driver corpus's own
+    planted containment duplicates (e.g. sf0.01 doc 185 is a full
+    substring of doc 61 — such docs dedup to zero kept tokens and drop
+    from the output, in both engines). Gram keys are md5 content
+    hashes — uniform, no skew; the oracle replays the whole flow in
+    SQL."""
+    from multivac_spark.operators.dedup import remove_repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" " + _LICENSE_BLOCK)))
+        .otherwise(F.col("text")).alias("text"))
+    return remove_repeated_spans(aug, span=50)
+
+
+def _repeated_spans_sql(span: int = 50) -> str:
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' {_LICENSE_BLOCK}'
+              ELSE text END AS t
+  FROM documents),
+toks AS (
+  SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS ts
+  FROM aug),
+grams AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(ts[i:i+{span - 1}], ' ')) AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(ts) - {span - 1}))
+       AS u(i)
+  WHERE len(ts) >= {span}),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+canon AS (
+  SELECT g, doc_id AS kd, pos AS kp FROM (
+    SELECT g, doc_id, pos,
+           row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+    FROM grams WHERE g IN (SELECT g FROM dup)) WHERE rn = 1),
+removed AS (
+  SELECT gr.doc_id, gr.pos
+  FROM grams gr JOIN canon USING (g)
+  WHERE NOT (gr.doc_id = canon.kd AND gr.pos = canon.kp)),
+covered AS (
+  SELECT DISTINCT doc_id, pos + j - 1 AS cp
+  FROM removed, LATERAL unnest(generate_series(1, {span})) AS v(j)),
+tokpos AS (
+  SELECT doc_id, i AS cp, ts[i] AS tok, len(ts) AS n
+  FROM toks, LATERAL unnest(generate_series(1, len(ts))) AS u(i)),
+kept AS (
+  SELECT t.doc_id, t.cp, t.tok, t.n
+  FROM tokpos t LEFT JOIN covered c
+    ON t.doc_id = c.doc_id AND t.cp = c.cp
+  WHERE c.cp IS NULL)
+SELECT doc_id, string_agg(tok, ' ' ORDER BY cp) AS text,
+       CAST(any_value(n) - count(*) AS BIGINT) AS n_tokens_removed
+FROM kept GROUP BY doc_id
+"""
+
+
 def q_query_match(spark, sf_dir):
     """cosine theta-join of the query-mapping path (get_answers,
     map_queries.py:153-226) — the REAL query.match_parts operator
@@ -1833,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
+        "repeated_spans": q_repeated_spans,
         "query_match": q_query_match,
         "ann_topk": q_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1890,6 +1963,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_lines": SQL_BOILERPLATE,
         "decontaminate": _decontaminate_sql(),
         "mixture_sample": _mixture_sql(),
+        "repeated_spans": _repeated_spans_sql(),
         "query_match": SQL_QUERY_MATCH,
         "ann_topk": SQL_ANN,
         "embedding_near_dups": SQL_NEAR_DUPS,

@@ -175,3 +175,74 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
             .select("a", "b",
                     F.floor(F.col("cos_sim") * 1_000_000)
                     .cast("long").alias("cos_sim_micro")))
+
+
+def remove_repeated_spans(docs: DataFrame, span: int = 50,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Exact substring-level dedup in the Lee-et-al. "Deduplicating
+    Training Data" shape: every token window of length ``span`` that
+    occurs more than once IN THE WHOLE CORPUS (across or within
+    documents) is removed from every occurrence except the canonical
+    first one (min (doc_id, position)); documents are rebuilt with the
+    surviving tokens in order.
+
+    → (id, text, n_tokens_removed).
+
+    Scale shape (no suffix array needed for fixed-length windows):
+    1. one narrow pass hashes every ``span``-gram (md5 — engine-
+       portable) with its position;
+    2. one groupBy(gram) finds grams with count > 1 and their
+       canonical occurrence (min struct) — map-side combinable;
+       singleton grams (the overwhelming majority) never leave the
+       partial agg with count > 1;
+    3. non-canonical occurrences explode to covered token positions
+       (×span — the same blow-up the reference algorithm's suffix
+       ranges pay), distinct-ed per doc;
+    4. rebuild = positional anti-join + ordered array_join.
+    Never a pairwise document comparison; the heavy join keys are
+    content hashes, uniformly distributed — no skew."""
+    toks = tokens(F.col(text_col))
+    base = (docs.select(F.col(id_col), toks.alias("_ts"))
+            .withColumn("_n", F.size("_ts"))
+            .localCheckpoint())
+    grams = (base.filter(F.col("_n") >= span)
+             .select(
+                 id_col,
+                 F.posexplode(F.transform(
+                     F.sequence(F.lit(1), F.col("_n") - (span - 1)),
+                     lambda i: F.md5(F.concat_ws(
+                         " ", F.slice("_ts", i, span)))))
+                 .alias("_off", "_g"))
+             .select(id_col, (F.col("_off") + 1).alias("_pos"), "_g"))
+    dup = (grams.groupBy("_g")
+           .agg(F.count("*").alias("_c"),
+                F.min(F.struct(F.col(id_col).alias("d"),
+                               F.col("_pos").alias("p"))).alias("_k"))
+           .filter(F.col("_c") > 1)
+           .select("_g", "_k"))
+    removed = (grams.join(dup, "_g")
+               .filter(~((F.col(id_col) == F.col("_k.d"))
+                         & (F.col("_pos") == F.col("_k.p"))))
+               .select(id_col, "_pos"))
+    covered = (removed
+               .select(id_col,
+                       F.explode(F.sequence(
+                           F.col("_pos"),
+                           F.col("_pos") + (span - 1))).alias("_cp"))
+               .distinct())
+    tokpos = base.select(
+        id_col, "_n",
+        F.posexplode("_ts").alias("_off", "_tok")) \
+        .select(id_col, "_n", (F.col("_off") + 1).alias("_cp"), "_tok")
+    kept = tokpos.join(covered, [id_col, "_cp"], "left_anti")
+    return (kept.groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(
+                     F.struct("_cp", "_tok"))).alias("_ls"),
+                 F.first("_n").alias("_n"))
+            .select(
+                id_col,
+                F.array_join(F.transform("_ls", lambda s: s["_tok"]),
+                             " ").alias(text_col),
+                (F.col("_n") - F.size("_ls")).cast("long")
+                .alias("n_tokens_removed")))

@@ -89,3 +89,55 @@ def test_mixture_sample_deterministic_and_rate_shaped(spark):
     # unknown source with default_rate=0 drops everything
     extra = spark.createDataFrame([(5, "srcC")], "doc_id long, source string")
     assert textops.mixture_sample(extra, rates).count() == 0
+
+
+def test_remove_repeated_spans_cross_doc(spark):
+    """The shared 6-token block survives only in its canonical first
+    occurrence (min doc_id); unique content is untouched; short docs
+    bypass the gram stage."""
+    from multivac_spark.operators.dedup import remove_repeated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two three {shared} four five"),
+        (2, f"{shared} six seven eight nine ten"),
+        (3, "totally unique text with nothing repeated anywhere here"),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_tokens_removed"])
+           for r in remove_repeated_spans(df, span=6).collect()}
+    assert got[1] == (f"one two three {shared} four five", 0)  # canonical
+    assert got[2] == ("six seven eight nine ten", 6)
+    assert got[3][1] == 0
+    assert got[4] == ("tiny doc", 0)
+
+
+def test_remove_repeated_spans_within_doc(spark):
+    """Within-document repeats dedup too (the second copy goes)."""
+    from multivac_spark.operators.dedup import remove_repeated_spans
+
+    block = "p q r s"
+    df = spark.createDataFrame(
+        [(7, f"{block} mid1 mid2 {block} tail")],
+        "doc_id long, text string")
+    r = remove_repeated_spans(df, span=4).collect()[0]
+    assert r["text"] == f"{block} mid1 mid2 tail"
+    assert r["n_tokens_removed"] == 4
+
+
+def test_remove_repeated_spans_overlapping_merge(spark):
+    """Overlapping duplicate windows merge into one covered span —
+    a 7-token shared block with span=6 yields two overlapping grams
+    whose union removes exactly the 7 tokens."""
+    from multivac_spark.operators.dedup import remove_repeated_spans
+
+    shared = "a1 a2 a3 a4 a5 a6 a7"
+    df = spark.createDataFrame(
+        [(1, f"{shared} first unique words here"),
+         (2, f"other start {shared} more unique")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_tokens_removed"])
+           for r in remove_repeated_spans(df, span=6).collect()}
+    assert got[1] == (f"{shared} first unique words here", 0)
+    assert got[2] == ("other start more unique", 7)
