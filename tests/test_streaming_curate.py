@@ -1,0 +1,72 @@
+"""Streaming curation (streaming/curate.py): stateless hygiene stages
+on the AvailableNow ingest stream — exactly-once file drains,
+batch-vs-stream equivalence, blocklist + PII + signal columns."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from multivac_spark.sources import corpus
+from multivac_spark.streaming.curate import (curate_available_now,
+                                             curate_stage)
+
+
+def _rows_set(df):
+    return {(r["url"], r["text"], r["n_pii"], r["lang_id"],
+             r["n_tokens"], r["dup3_e4"], r["fp"])
+            for r in df.collect()}
+
+
+def test_curate_stream_exactly_once_and_equals_batch(spark):
+    first = corpus.documents_df(spark, 40, partitions=4)
+    second = corpus.documents_df(spark, 30, partitions=4, start=40)
+    blocked = ["host-003.example"]
+    with tempfile.TemporaryDirectory() as d:
+        docs_dir, out_dir = f"{d}/docs", f"{d}/curated"
+
+        first.write.mode("append").parquet(docs_dir)
+        n1 = curate_available_now(spark, docs_dir, out_dir, f"{d}/ck",
+                                  blocked_domains=blocked)
+        assert n1 > 0
+
+        # re-drain with NO new files → nothing re-processed
+        assert curate_available_now(spark, docs_dir, out_dir, f"{d}/ck",
+                                    blocked_domains=blocked) == 0
+
+        second.write.mode("append").parquet(docs_dir)
+        n2 = curate_available_now(spark, docs_dir, out_dir, f"{d}/ck",
+                                  blocked_domains=blocked)
+        assert n2 > 0
+
+        got = spark.read.parquet(out_dir)
+        # batch twin over the same corpus → identical row set
+        want = curate_stage(first.unionByName(second),
+                            blocked_domains=blocked)
+        assert _rows_set(got) == _rows_set(want)
+        assert got.count() == n1 + n2
+
+        # blocklist applied: no doc from the blocked host survived
+        assert got.filter(
+            F.col("url").contains("host-003.example")).count() == 0
+        total_hosts = (first.unionByName(second)
+                       .filter(F.col("url").contains("host-003.example"))
+                       .count())
+        assert total_hosts > 0  # the block actually removed something
+
+
+def test_curate_stage_signals(spark):
+    df = spark.createDataFrame(
+        [("u1", None, None,
+          "the and is of quick mail me@x.org now now now now now now",
+          "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    r = curate_stage(df).collect()[0]
+    assert r["n_pii"] == 1
+    assert "<EMAIL>" in r["text"] and "me@x.org" not in r["text"]
+    assert r["lang_id"] == "en"
+    assert r["n_tokens"] == 13
+    assert r["dup3_e4"] > 0          # "now now now ..." repeats 3-grams
+    assert len(r["fp"]) == 32        # md5 prefix fingerprint
