@@ -251,11 +251,13 @@ def remove_common_lines(docs, min_docs: int, sep: str = "\n",
     line-wise dedup), preserving each document's remaining line order.
 
     → (id, text, n_lines_kept). Scale shape: posexplode → one
-    count-distinct agg keyed on the line (map-side combinable; the
-    common-line table is small — boilerplate is by definition
-    high-frequency, so the anti-join side is broadcastable) → one
+    count-distinct agg keyed on the line (map-side combinable) → one
     groupBy(id) rebuild sorted by original position. Never compares
-    documents pairwise."""
+    documents pairwise. The common-line side is ≤ total_lines/min_docs
+    but NOT dictionary-bounded at corpus scale, so the anti-join is
+    left unhinted — Catalyst/AQE broadcasts it when its runtime size
+    allows and falls back to a shuffled anti-join keyed on the line
+    otherwise."""
     lines = docs.select(
         F.col(id_col),
         # \Q…\E: the separator is a literal, not a regex
@@ -265,7 +267,7 @@ def remove_common_lines(docs, min_docs: int, sep: str = "\n",
               .agg(F.count_distinct(id_col).alias("_nd"))
               .filter(F.col("_nd") >= min_docs)
               .select("_line"))
-    kept = lines.join(F.broadcast(common), "_line", "left_anti")
+    kept = lines.join(common, "_line", "left_anti")
     rebuilt = (kept.groupBy(id_col)
                .agg(F.array_sort(F.collect_list(
                         F.struct("_idx", "_line"))).alias("_ls"))
