@@ -989,6 +989,82 @@ FROM kept GROUP BY doc_id
 """
 
 
+
+
+# trained quality classifier (operators/quality_clf.py — the
+# CCNet/GPT-3/LLaMA curation stage): hashed-feature logistic
+# regression trained on the sf0.01 corpus with deterministic
+# label-marker augmentation (y = doc_id % 2). _QCLF_W is the FROZEN
+# weight vector from the bit-deterministic trainer (dim=64, epochs=38,
+# lr=2.0 — epochs chosen so every floor(p*1e4) sits >1e-3 from an
+# integer boundary); re-derivation is pinned by
+# tests/test_quality_clf.py::test_frozen_entry_weights_rederive, and
+# the SCORING path replays fully in SQL (list_reduce fold in token
+# order — arithmetic-identical to the Column aggregate).
+_QCLF_DIM = 64
+_QCLF_EPOCHS = 38
+_QCLF_W = [0.034996294028, -0.040420548048, 0.0, 0.0, 0.0, 0.06542842717200001, 0.0, 0.0, 0.0, -0.4364600956960001, -0.04787777486000001, 0.0, 0.020032641215999996, 0.019461685828, -0.009439139212, 0.0, 0.0, 0.39564665762800005, 0.39564665762800005, -0.031708262344, 0.0, -0.4364600956960001, 0.0055567030040000005, 0.056067193139999985, 0.39564665762800005, 0.013995371139999997, 0.0, -0.022806982872, 0.0, 0.0, -0.028292936872, 0.04354386764, 0.04548234078, 0.0, 0.0, 0.0, 0.03194990342, 0.0, 0.0, 0.010593048660000002, 0.0, 0.07725611567200001, 0.0, 0.0, 0.0, -0.03352782347199999, 0.0, 0.0, 0.013486711535999998, 0.02007257436, 0.0, 0.0, 0.0, -0.4364600956960001, 0.0, -0.034132338396, -0.09446302707600002, 0.074403487788, -0.035291318688, 0.0, 0.0, -0.02963719227999999, 0.0, 0.0, 0.002288709248]
+
+
+def _qclf_aug(docs):
+    return docs.select(
+        "doc_id",
+        (F.col("doc_id") % 2).cast("int").alias("y"),
+        F.when(F.col("doc_id") % 2 == 1,
+               F.concat(F.col("text"),
+                        F.lit(" premium curated prose review")))
+        .otherwise(F.concat(F.col("text"),
+                            F.lit(" spam clickbait listicle tricks")))
+        .alias("text"))
+
+
+def q_quality_classifier(spark, sf_dir):
+    """trained-quality-classifier scoring: σ(w·x) over L1-normalized
+    hashed bag-of-tokens with the frozen deterministic-GD weights —
+    one narrow Column pass, no UDF, no shuffle."""
+    import numpy as np
+
+    from multivac_spark.operators import quality_clf as qc
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = _qclf_aug(docs)
+    return qc.quality_scores(aug, np.array(_QCLF_W), dim=_QCLF_DIM)
+
+
+def _quality_clf_sql() -> str:
+    w_list = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)"
+                             for v in _QCLF_W[:_QCLF_DIM]) + "]"
+    bias = repr(_QCLF_W[_QCLF_DIM])
+    bucket = ("(CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) "
+              f"% {_QCLF_DIM})")
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1
+              THEN text || ' premium curated prose review'
+              ELSE text || ' spam clickbait listicle tricks' END AS t
+  FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(t), ' '), x -> x <> '') AS ts
+  FROM aug),
+scored AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) > 0 THEN
+           list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(ts,
+                 t -> {w_list}[{bucket} + 1])),
+             (a, b) -> a + b) / len(ts)
+         ELSE CAST(0.0 AS DOUBLE) END + {bias} AS z
+  FROM toks)
+SELECT doc_id,
+       CAST(floor(1.0 / (1.0 + exp(-z)) * 10000) AS BIGINT)
+           AS quality_e4
+FROM scored
+"""
+
+
 def q_query_match(spark, sf_dir):
     """cosine theta-join of the query-mapping path (get_answers,
     map_queries.py:153-226) — the REAL query.match_parts operator
@@ -1906,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repeated_spans": q_repeated_spans,
+        "quality_classifier": q_quality_classifier,
         "query_match": q_query_match,
         "ann_topk": q_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1964,6 +2041,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(),
         "mixture_sample": _mixture_sql(),
         "repeated_spans": _repeated_spans_sql(),
+        "quality_classifier": _quality_clf_sql(),
         "query_match": SQL_QUERY_MATCH,
         "ann_topk": SQL_ANN,
         "embedding_near_dups": SQL_NEAR_DUPS,
