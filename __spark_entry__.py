@@ -385,6 +385,7 @@ def q_token_count(spark, sf_dir):
     return docs.select(
         "doc_id",
         textops.token_count(F.col("text")).alias("n_tokens"),
+        textops.bpe_token_count(F.col("text")).alias("n_bpe"),
         textops.char_sum(F.col("text")).alias("n_chars"))
 
 
@@ -392,6 +393,8 @@ SQL_TOKEN_COUNT = """
 SELECT doc_id,
        CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
             AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+            AS INT) AS n_bpe,
        CAST(list_sum(list_transform(
             list_filter(string_split(text, ' '), t -> t <> ''),
             t -> length(t))) AS INT) AS n_chars

@@ -35,6 +35,24 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pre-tokenizer regex, restricted to syntax with identical
+# leftmost-first semantics in Java regex (Spark) and RE2 (DuckDB):
+# contraction suffixes, space-prefixed letter/digit/punctuation runs,
+# residual whitespace runs. (The original's lookahead `\s+(?!\S)` is
+# unsupported in RE2 and dropped — whitespace folds into the following
+# token via the " ?" prefixes, same as upstream.)
+BPE_SPLIT_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)"
+                     r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Sub-word-ish token count under the BPE pre-tokenizer split —
+    the cost/length estimate training pipelines budget with (whitespace
+    token counts undercount punctuation-heavy text). Pure Column
+    regexp, JVM-side."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_SPLIT_PATTERN), 0))
+
+
 def char_sum(col: Column) -> Column:
     """Total characters across tokens (with token_count gives avg token
     length without emitting floats)."""

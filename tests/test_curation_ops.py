@@ -141,3 +141,20 @@ def test_remove_repeated_spans_overlapping_merge(spark):
            for r in remove_repeated_spans(df, span=6).collect()}
     assert got[1] == (f"{shared} first unique words here", 0)
     assert got[2] == ("other start more unique", 7)
+
+
+def test_bpe_token_count_examples(spark):
+    """BPE pre-tokenizer split: contractions split off, punctuation
+    runs count separately, whitespace folds into the next token."""
+    cases = {
+        "don't stop me-now 2x fast": 9,
+        "hello   world": 3,
+        "a,b..c 12.5%": 9,
+        "naïve café ΩΩ 42": 4,
+    }
+    df = spark.createDataFrame([(t,) for t in cases],
+                               "text string")
+    got = {r["text"]: r["n"] for r in df.select(
+        "text",
+        textops.bpe_token_count(F.col("text")).alias("n")).collect()}
+    assert got == cases
