@@ -146,7 +146,8 @@ def main() -> None:
         "token_count", "quality_score", "langid", "fingerprint",
         "minhash_signature", "simhash", "ngram_jaccard",
         "ann_topk", "embedding_near_dups", "exact_dedup",
-        "session_agg", "curation_pipeline",
+        "session_agg", "curation_pipeline", "repeated_spans",
+        "quality_classifier",
     ]
     qmap = entrymod.queries()
     for name in bench_queries:
