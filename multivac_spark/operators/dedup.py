@@ -30,32 +30,47 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
             .filter(F.col("n_dups") > 1))
 
 
+def bound(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE per row by binding it as a higher-order-
+    function lambda variable: ``fn`` receives a bound VALUE, so
+    referencing it per element costs nothing. Catalyst does no common-
+    subexpression elimination inside HOF lambdas — an
+    ``element_at(expensive_expr, i)`` inside ``transform`` re-evaluates
+    ``expensive_expr`` for EVERY element (measured 4× on the shingle
+    family at sf0.1) — and projection collapse re-inlines any
+    intermediate select, so this binding is the no-materialization fix
+    (the alternative is a localCheckpoint barrier)."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def shingles(col: Column, n: int = 3) -> Column:
-    """Token n-gram shingles of a text column."""
-    toks = tokens(col)
-    return F.when(
+    """Token n-gram shingles of a text column (token array bound once
+    per row — see ``bound``)."""
+    return bound(tokens(col), lambda toks: F.when(
         F.size(toks) < n, F.array(F.concat_ws(" ", toks))
     ).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.concat_ws(
                 " ", *[F.element_at(toks, i + j) for j in range(n)]))
-    )
+    ))
 
 
 def minhash_signature(col: Column, k: int = 8, n: int = 3) -> Column:
     """k-permutation MinHash over n-gram shingles: hash_i(s) =
     md5(i:s), signature = array of per-i minima. The md5 family is
     reproduced verbatim by the DuckDB oracle."""
-    sh = shingles(col, n)
-
     def hasher(i: int):
         # closure factory — a default-arg lambda would change the
         # PySpark higher-order-function arity (2-arg = (element, index))
         return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
 
-    return F.array(*[F.array_min(F.transform(sh, hasher(i)))
-                     for i in range(k)])
+    # shingle array bound once — the k hash families would otherwise
+    # each re-evaluate the whole shingling (no CSE inside HOFs)
+    return bound(shingles(col, n),
+                 lambda sh: F.array(*[
+                     F.array_min(F.transform(sh, hasher(i)))
+                     for i in range(k)]))
 
 
 def minhash_band_keys(sig: Column, bands: int, rows: int) -> Column:
@@ -116,27 +131,40 @@ def simhash_bits(col: Column, n_bits: int = 16) -> Column:
     Bit b of the digest is modeled as the parity of hex digit b —
     identical arithmetic in the DuckDB oracle. Returns an n_bits-char
     '0'/'1' string."""
-    toks = tokens(col)
-
     def stepper(b: int):
         # closure factory (see minhash_signature note on lambda arity)
-        return lambda acc, t: acc + F.when(
-            F.substring(F.md5(t), b + 1, 1).isin(_ODD_HEX),
+        return lambda acc, d: acc + F.when(
+            F.substring(d, b + 1, 1).isin(_ODD_HEX),
             F.lit(1)).otherwise(F.lit(-1))
 
-    bits = []
-    for b in range(n_bits):
-        contrib = F.aggregate(toks, F.lit(0), stepper(b))
-        bits.append(F.when(contrib > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    def all_bits(digests):
+        bits = []
+        for b in range(n_bits):
+            contrib = F.aggregate(digests, F.lit(0), stepper(b))
+            bits.append(F.when(contrib > 0,
+                               F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    # per-token md5 digests bound ONCE — the 16 per-bit folds read the
+    # cached digest array instead of re-tokenizing + re-hashing the
+    # document 16×
+    return bound(F.transform(tokens(col), lambda t: F.md5(t)), all_bits)
 
 
 def ngram_jaccard(a: Column, b: Column, n: int = 3,
                   scale: int = 10_000) -> Column:
     """Jaccard similarity of n-gram shingle sets, scaled to an integer
     (float-free for cross-engine hashing)."""
-    sa = F.array_distinct(shingles(a, n))
-    sb = F.array_distinct(shingles(b, n))
+    # both shingle sets bound once (each is referenced by intersect
+    # AND union — unbound, the shingling would run twice per side)
+    return bound(
+        F.array_distinct(shingles(a, n)),
+        lambda sa: bound(
+            F.array_distinct(shingles(b, n)),
+            lambda sb: _jaccard_of(sa, sb, scale)))
+
+
+def _jaccard_of(sa: Column, sb: Column, scale: int) -> Column:
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(F.array_union(sa, sb))
     return F.when(union == 0, F.lit(0)).otherwise(

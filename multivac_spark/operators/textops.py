@@ -210,13 +210,16 @@ def dup_ngram_fraction(col: Column, n: int = 5) -> Column:
     ``(total − distinct) / total`` in e4 integer units (0 when the
     document has no n-grams). Pure Column expression — no shuffle, no
     UDF; the in-document analog of the cross-document shingle dedup."""
-    from .dedup import shingles
+    from .dedup import bound, shingles
 
-    sh = shingles(col, n)
-    total = F.size(sh)
-    distinct = F.size(F.array_distinct(sh))
-    return F.when(total <= 0, F.lit(0)).otherwise(
-        F.floor((total - distinct) * 10_000 / total)).cast("long")
+    def frac(sh):
+        total = F.size(sh)
+        distinct = F.size(F.array_distinct(sh))
+        return F.when(total <= 0, F.lit(0)).otherwise(
+            F.floor((total - distinct) * 10_000 / total)).cast("long")
+
+    # shingle array bound once (total AND distinct both reference it)
+    return bound(shingles(col, n), frac)
 
 
 # --------------------------------------------------------------------------
@@ -308,19 +311,36 @@ def decontaminate(docs, benchmark, n: int = 8,
     benchmark corpus — the test-set decontamination pass training
     pipelines run so eval data never leaks into training data.
 
-    Scale shape: both sides explode to distinct hashed shingles; the
-    overlap check is a shingle-keyed equi-join (the benchmark side is
-    eval-set-sized → broadcastable), then one anti-join on the doc id.
-    Never a pairwise document comparison."""
-    from .dedup import shingles
+    Scale shape: both sides explode to distinct shingles reduced to
+    64-bit xxhash keys BEFORE anything shuffles — the join and the
+    benchmark broadcast carry longs, not n-gram strings (~25× narrower
+    at n=8; a hash collision can only over-drop one extra doc, the
+    conservative direction for decontamination). The overlap check is
+    a hash-keyed equi-join (the benchmark side is eval-set-sized →
+    broadcastable), then one anti-join on the doc id. Never a pairwise
+    document comparison."""
+    def hashed(col):
+        # hash token TUPLES with multi-arg xxhash64 — the n-gram
+        # strings are never materialized (no concat per position), and
+        # the token array is lambda-bound so it's evaluated once per
+        # row (dedup.bound). No array_distinct (O(len²) per doc); the
+        # downstream .distinct()/join dedupe anyway.
+        from .dedup import bound
+
+        return bound(tokens(col), lambda toks: F.when(
+            F.size(toks) < n,
+            F.array(F.xxhash64(F.concat_ws(" ", toks)))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.xxhash64(
+                    *[F.element_at(toks, i + j) for j in range(n)]))))
 
     doc_sh = docs.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n)))
-        .alias("_sh"))
+        F.explode(hashed(F.col(text_col))).alias("_sh"))
     bench_sh = (benchmark
-                .select(F.explode(F.array_distinct(
-                    shingles(F.col(text_col), n))).alias("_sh"))
+                .select(F.explode(hashed(F.col(text_col))).alias("_sh"))
                 .distinct())
     contaminated = (doc_sh.join(F.broadcast(bench_sh), "_sh")
                     .select(id_col).distinct())
