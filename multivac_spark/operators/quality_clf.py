@@ -123,16 +123,22 @@ def quality_scores(docs: DataFrame, w: np.ndarray,
     """(id, quality_e4): floor(σ(w·x)·1e4) per document — one narrow
     Column pass (higher-order functions over the broadcast-literal
     weights array), no UDF, no shuffle; empty docs score the bias."""
+    from .dedup import bound
+
     d = (len(w) - 1) if dim is None else dim
     w_lit = F.array(*[F.lit(float(v)) for v in w[:d]])
-    buckets = _doc_buckets(F.col(text_col), d)
-    n = F.size(buckets)
-    dot = F.aggregate(
-        buckets, F.lit(0.0),
-        lambda acc, b: acc + F.element_at(w_lit, b.cast("int") + 1))
-    z = (F.when(n > 0, dot / n).otherwise(F.lit(0.0))
-         + F.lit(float(w[-1])))
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+    def score(buckets):
+        n = F.size(buckets)
+        dot = F.aggregate(
+            buckets, F.lit(0.0),
+            lambda acc, b: acc + F.element_at(w_lit, b.cast("int") + 1))
+        z = (F.when(n > 0, dot / n).otherwise(F.lit(0.0))
+             + F.lit(float(w[-1])))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        return F.floor(p * 10_000).cast("long")
+
+    # bucket array bound once (size + fold both reference it)
     return docs.select(F.col(id_col),
-                       F.floor(p * 10_000).cast("long")
+                       bound(_doc_buckets(F.col(text_col), d), score)
                        .alias("quality_e4"))

@@ -101,14 +101,17 @@ def fingerprint(col: Column, k: int = 5) -> Column:
 def bigram_pairs(col: Column) -> Column:
     """Token bigrams of a text column as (w1, w2) structs (lowercased,
     whitespace tokens); empty array below 2 tokens."""
-    arr = tokens(F.lower(col))
-    return F.when(
+    from .dedup import bound
+
+    # token array bound once per row (dedup.bound — the two element_at
+    # references per bigram would otherwise re-tokenize per element)
+    return bound(tokens(F.lower(col)), lambda arr: F.when(
         F.size(arr) < 2, F.array().cast("array<struct<w1:string,w2:string>>")
     ).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(arr) - 1),
             lambda i: F.struct(F.element_at(arr, i).alias("w1"),
-                               F.element_at(arr, i + 1).alias("w2"))))
+                               F.element_at(arr, i + 1).alias("w2")))))
 
 
 def train_bigram_lm(docs: DataFrame, text_col: str = "text"
