@@ -76,15 +76,22 @@ def lang_score(col: Column, markers: list[str]) -> Column:
 
 def langid(col: Column) -> Column:
     """Argmax over marker scores; ties resolved by language code order
-    (deterministic). Unknown when every score is 0."""
-    pairs = [(lang, lang_score(col, m)) for lang, m in
-             sorted(LANG_MARKERS.items())]
-    best_score = F.greatest(*[s for _, s in pairs])
-    result = F.lit("und")
-    for lang, score in reversed(pairs):  # earlier langs win ties
-        result = F.when((score == best_score) & (best_score > 0),
-                        F.lit(lang)).otherwise(result)
-    return result
+    (deterministic). Unknown when every score is 0. The token array is
+    bound once (dedup.bound) — the 4 marker scores are each referenced
+    twice, which would otherwise re-tokenize the document ~8×."""
+    from .dedup import bound
+
+    def pick(toks):
+        pairs = [(lang, F.size(F.filter(toks, lambda t: t.isin(m))))
+                 for lang, m in sorted(LANG_MARKERS.items())]
+        best_score = F.greatest(*[s for _, s in pairs])
+        result = F.lit("und")
+        for lang, score in reversed(pairs):  # earlier langs win ties
+            result = F.when((score == best_score) & (best_score > 0),
+                            F.lit(lang)).otherwise(result)
+        return result
+
+    return bound(tokens(F.lower(col)), pick)
 
 
 def fingerprint(col: Column, k: int = 5) -> Column:
