@@ -679,7 +679,10 @@ def q_curation_pipeline(spark, sf_dir):
                                     key=F.col("source"))
     capped = textops.cap_per_domain(kept, 10, key=F.col("source"))
     lm = textops.train_bigram_lm(capped.filter(F.col("doc_id") % 2 == 0))
-    scored = textops.lm_score(capped, lm).select("doc_id", "lm_score_e4")
+    # staged scores (localCheckpoint): joined lazily, the score branch
+    # has no stats and Catalyst falls back to sort-merge plans
+    scored = (textops.lm_score(capped, lm)
+              .select("doc_id", "lm_score_e4").localCheckpoint())
     quality = (capped.join(scored, "doc_id")
                .withColumn("dup3_e4",
                            textops.dup_ngram_fraction(F.col("text"), 3)))

@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Curation-pipeline scaling evidence (round 4).
+
+The KG pipeline's N-vs-4N efficiency is established in BENCH.md; this
+bench extends the same two-parallelism-level evidence to the WEB
+CURATION flow the round-4 operators compose into — the pipeline a
+training-data run executes before any KG work:
+
+    html→text extraction → source blocklist → per-domain cap →
+    PII scrub → bigram-LM quality threshold → repetition filter →
+    MinHash-LSH dedup
+
+run over the same synthetic Common-Crawl-style corpus at local[4] and
+local[16] (fresh JVM each; corpus pre-materialized — the timed job
+READS the documents table). Reports wall + docs/sec at both levels,
+the scaling efficiency (T_4/T_16)/4, and asserts an identical
+surviving-set digest across parallelism levels (count + Σ xxhash64 of
+the url — order-independent, no collect).
+
+Usage:  CURATION_DOCS=400000 python bench_curation_scaling.py
+Appends a section to BENCH.md; exit non-zero on digest mismatch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+N_DOCS = int(os.environ.get("CURATION_DOCS", "400000"))
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, "@REPO@")
+from pyspark.sql import functions as F
+from multivac_spark.session import get_spark
+from multivac_spark.functions.html_text import extract_text_stage
+from multivac_spark.operators import dedup, textops
+
+cores = int(sys.argv[1]); docs_path = sys.argv[2]
+spark = get_spark(app_name=f"curation-{cores}", master=f"local[{cores}]",
+                  shuffle_partitions=str(max(cores, 8)))
+# AQE partition-coalescing targets 64MB partitions, which at BENCH
+# corpus sizes collapses the LM join/agg reduce side to fewer
+# partitions than cores (measured 1.7x on the quality stage) — the
+# same artifact at both parallelism levels, so it floors the measured
+# efficiency. At production scale the shuffle is orders of magnitude
+# past the advisory size and coalescing never drops below cluster
+# parallelism; disabling it here removes the small-data artifact
+# without touching the skew-join half of AQE.
+spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+spark.sparkContext.setLogLevel("ERROR")
+
+# warm JVM + python workers
+from multivac_spark.sources import corpus
+extract_text_stage(corpus.documents_df(spark, 20)).count()
+
+docs = spark.read.parquet(docs_path)
+t0 = time.time()
+extracted = (extract_text_stage(docs)
+             .filter(F.col("text").isNotNull())
+             .select("url", "text"))
+kept = textops.filter_blocklist(
+    extracted, ["host-003.example", "host-007.example"])
+capped = textops.cap_per_domain(kept, 3000, order_col="url")
+scrubbed = capped.withColumn("text", textops.scrub_pii(F.col("text"))) \
+    .localCheckpoint()
+n_capped = scrubbed.count()
+t_head = time.time() - t0
+
+t1 = time.time()
+lm = textops.train_bigram_lm(
+    scrubbed.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0))
+# stage the per-doc scores before the text join (the staged-table
+# pattern): joined lazily, Catalyst has no stats for the score branch
+# and falls back to sort-merge plans that nearly triple the stage
+scored = textops.lm_score(scrubbed, lm, id_col="url") \
+    .select("url", "lm_score_e4").localCheckpoint()
+quality = (scrubbed.join(scored, "url")
+           .withColumn("dup3_e4",
+                       textops.dup_ngram_fraction(F.col("text"), 3)))
+survivors = quality.filter(
+    (F.col("lm_score_e4") >= -55000)
+    & (F.col("dup3_e4") < 600)).localCheckpoint()
+n_surv = survivors.count()
+t_quality = time.time() - t1
+
+t1 = time.time()
+pairs = dedup.minhash_dup_pairs(survivors, id_col="url",
+                                bands=4, rows=2)
+final = survivors.join(
+    pairs.select(F.col("b").alias("url")).distinct(), "url", "left_anti")
+dig = final.agg(
+    F.count("*").alias("n"),
+    F.sum(F.xxhash64("url").cast("decimal(38,0)")).alias("h")).collect()[0]
+t_dedup = time.time() - t1
+
+wall = time.time() - t0
+out = {"cores": cores, "wall_sec": round(wall, 2),
+       "head_sec": round(t_head, 2),
+       "quality_sec": round(t_quality, 2),
+       "dedup_sec": round(t_dedup, 2),
+       "capped": n_capped, "survivors": n_surv,
+       "final": int(dig["n"]), "digest": str(dig["h"]),
+       "docs_per_sec": round(int(sys.argv[3]) / wall, 2)}
+print(json.dumps(out))
+spark.stop()
+"""
+
+
+def _repo() -> str:
+    return os.path.dirname(os.path.abspath(__file__))
+
+
+def run_at(cores: int, docs_path: str) -> dict:
+    code = WORKER.replace("@REPO@", _repo())
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cores), docs_path, str(N_DOCS)],
+        capture_output=True, text=True, timeout=7200)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"worker({cores}) failed:\n{out.stderr[-3000:]}")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    import tempfile
+
+    from bench_scaling import generate_corpus
+
+    with tempfile.TemporaryDirectory() as d:
+        docs_path = os.path.join(d, "documents.parquet")
+        generate_corpus(N_DOCS, docs_path)
+        print(f"corpus generated: {N_DOCS} docs", flush=True)
+        r4 = run_at(4, docs_path)
+        print(json.dumps(r4), flush=True)
+        r16 = run_at(16, docs_path)
+        print(json.dumps(r16), flush=True)
+
+    eff = (r4["wall_sec"] / r16["wall_sec"]) / 4
+    match = r4["digest"] == r16["digest"] and r4["final"] == r16["final"]
+    print(json.dumps({"docs": N_DOCS, "local4": r4, "local16": r16,
+                      "scaling_efficiency": round(eff, 3),
+                      "digest_match": match}))
+
+    md = (
+        "\n## Curation-pipeline scaling (N vs 4N, same input) — round 4\n\n"
+        f"Full web-curation flow (html→text → blocklist → per-domain cap "
+        f"→ PII scrub → bigram-LM threshold → repetition filter → "
+        f"MinHash-LSH dedup) over a pre-materialized {N_DOCS}-doc corpus, "
+        "fresh JVM per configuration:\n\n"
+        "| config | wall (s) | head (extract+cap+scrub) | LM+repetition | "
+        "dedup | docs/sec |\n|---|---|---|---|---|---|\n"
+        f"| local[4] | {r4['wall_sec']} | {r4['head_sec']} | "
+        f"{r4['quality_sec']} | {r4['dedup_sec']} | {r4['docs_per_sec']} |\n"
+        f"| local[16] | {r16['wall_sec']} | {r16['head_sec']} | "
+        f"{r16['quality_sec']} | {r16['dedup_sec']} | "
+        f"{r16['docs_per_sec']} |\n\n"
+        f"**Scaling efficiency (T_4/T_16)/4 = {eff:.3f}** (same ≥0.8 "
+        f"criterion as the KG pipeline). Funnel: {r4['capped']} capped → "
+        f"{r4['survivors']} quality survivors → {r4['final']} after "
+        f"dedup. **Surviving-set digest match across parallelism levels: "
+        f"{match}** (count + Σ xxhash64(url)).\n")
+    with open(os.path.join(_repo(), "BENCH.md"), "a") as f:
+        f.write(md)
+    if not match:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
