@@ -389,7 +389,7 @@ def q_token_count(spark, sf_dir):
         textops.char_sum(F.col("text")).alias("n_chars"))
 
 
-SQL_TOKEN_COUNT = """
+SQL_TOKEN_COUNT = r"""
 SELECT doc_id,
        CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
             AS INT) AS n_tokens,

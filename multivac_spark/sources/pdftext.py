@@ -108,10 +108,24 @@ def parse_tounicode_cmap(data: bytes) -> tuple[dict[int, str], int]:
                         table[lo + i] = _uni(d)
             else:
                 base_hex = dst[1:-1]
-                base = int(base_hex, 16)
-                for c in range(lo, hi + 1):
-                    table[c] = chr(base + (c - lo)) \
-                        if len(base_hex) <= 4 else _uni(base_hex)
+                if len(base_hex) <= 4:
+                    base = int(base_hex, 16)
+                    for c in range(lo, hi + 1):
+                        table[c] = chr(base + (c - lo))
+                else:
+                    # Multi-unit destination (e.g. a surrogate pair for
+                    # a non-BMP glyph): per PDF 32000 §9.10.3 / Adobe
+                    # CMap spec the LAST 16-bit code unit is incremented
+                    # across the range, the leading units stay fixed.
+                    h = base_hex.decode("ascii")
+                    h = h.zfill((len(h) + 3) // 4 * 4)
+                    units = [int(h[i:i + 4], 16)
+                             for i in range(0, len(h), 4)]
+                    for c in range(lo, hi + 1):
+                        u = units[:-1] + [(units[-1] + (c - lo)) & 0xFFFF]
+                        table[c] = b"".join(
+                            x.to_bytes(2, "big") for x in u
+                        ).decode("utf-16-be", "replace")
     for block in _CMAP_BFCHAR_RE.finditer(data):
         for p in _HEXPAIR_RE.finditer(block.group(1)):
             table[int(p.group(1), 16)] = _uni(p.group(2))
@@ -385,17 +399,24 @@ def _page_fonts(objects: dict, page_dict: bytes,
                 data: bytes = b"") -> dict[bytes, object]:
     """Resolve /Resources → /Font → per-name encoding: a /ToUnicode
     CMap when present (embedded-subset fonts), else the named
-    /Encoding tag."""
-    rm = re.search(rb"/Resources\s*", page_dict)
-    if not rm:
-        return {}
-    res: bytes | None
-    if page_dict[rm.end():rm.end() + 2] == b"<<":
-        d = _scan_dict(page_dict, rm.end())
-        res = d[0] if d else None
-    else:
-        ref = re.match(rb"(\d+)\s+\d+\s+R", page_dict[rm.end():])
-        res = _dict_of(objects, int(ref.group(1))) if ref else None
+    /Encoding tag.  /Resources is an *inheritable* page attribute
+    (PDF 32000 §7.7.3.4): when the page dict lacks it we walk up the
+    /Parent chain of the /Pages tree, as PDFMiner does."""
+    res: bytes | None = None
+    node, depth = page_dict, 0
+    while node is not None and depth <= 32:
+        rm = re.search(rb"/Resources\s*", node)
+        if rm:
+            if node[rm.end():rm.end() + 2] == b"<<":
+                d = _scan_dict(node, rm.end())
+                res = d[0] if d else None
+            else:
+                ref = re.match(rb"(\d+)\s+\d+\s+R", node[rm.end():])
+                res = _dict_of(objects, int(ref.group(1))) if ref else None
+            break
+        pm = re.search(rb"/Parent\s+(\d+)\s+\d+\s+R", node)
+        node = _dict_of(objects, int(pm.group(1))) if pm else None
+        depth += 1
     if not res:
         return {}
     fm = re.search(rb"/Font\s*", res)
@@ -576,7 +597,8 @@ def pdf_text_stage(df, pdf_col: str = "pdf", out_col: str = "text"):
 
 def make_pdf(pages: list[str], compress: bool = True,
              encoding: str | None = None,
-             shuffle_objects: bool = False) -> bytes:
+             shuffle_objects: bool = False,
+             inherit_resources: bool = False) -> bytes:
     """Minimal valid single-font PDF with one content stream per page —
     the synthetic stand-in for arXiv PDFs (same role as corpus.py's
     HTML generator). Flate-compressed by default, matching real text
@@ -592,7 +614,10 @@ def make_pdf(pages: list[str], compress: bool = True,
     CMap support.
     ``shuffle_objects``: write objects physically out of order
     (reverse) while keeping numbering — extraction must use the
-    /Pages tree, not document order, to get page order right."""
+    /Pages tree, not document order, to get page order right.
+    ``inherit_resources``: hang /Resources on the /Pages tree node
+    instead of each page (PDF 32000 §7.7.3.4 inheritable attribute) —
+    extraction must walk /Parent to find the fonts."""
     def esc(b: bytes) -> bytes:
         return (b.replace(b"\\", rb"\\").replace(b"(", rb"\(")
                 .replace(b")", rb"\)"))
@@ -625,8 +650,9 @@ def make_pdf(pages: list[str], compress: bool = True,
     first_page_obj = 4 + extra
     kids = " ".join(f"{first_page_obj + 2 * i} 0 R" for i in range(n_pages))
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
-    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
-                .encode())
+    res = "/Resources << /Font << /F1 3 0 R >> >> "
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} "
+                f"{res if inherit_resources else ''}>>".encode())
     objs.append(b"<< /Type /Font /Subtype /Type0 /BaseFont /Subset+F"
                 + enc_name + b" >>" if encoding == "subset" else
                 b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
@@ -658,7 +684,7 @@ def make_pdf(pages: list[str], compress: bool = True,
             content = zlib.compress(content)
             filt = b"/Filter /FlateDecode "
         objs.append(f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-                    f"/Resources << /Font << /F1 3 0 R >> >> "
+                    f"{'' if inherit_resources else res}"
                     f"/Contents {first_page_obj + 1 + 2 * i} 0 R >>".encode())
         objs.append(b"<< " + filt
                     + f"/Length {len(content)} >>\nstream\n".encode()

@@ -33,18 +33,30 @@ def curate_stage(df: DataFrame,
 
     Adds: scrubbed ``text`` (+ ``n_pii``), ``lang_id``, ``n_tokens``,
     ``dup3_e4`` (Gopher repetition), ``fp`` (rolling-hash
-    fingerprint)."""
+    fingerprint).
+
+    Signal provenance: ``n_pii`` and ``fp`` describe the ORIGINAL
+    text (``n_pii`` counts what was removed; the fingerprint must
+    match other copies of the raw document for dedup).  ``lang_id``,
+    ``n_tokens`` and ``dup3_e4`` are computed on the SCRUBBED text —
+    the text actually stored — so token budgets and quality
+    thresholds downstream agree with the bytes on disk (a multi-token
+    phone number collapses to one ``<PHONE>`` token)."""
     if blocked_domains:
         df = textops.filter_blocklist(df, list(blocked_domains), key=key)
     t = F.col("text")
-    return df.select(
-        "*",
-        textops.pii_count(t).alias("n_pii"),
-        textops.langid(t).alias("lang_id"),
-        textops.token_count(t).cast("long").alias("n_tokens"),
-        textops.dup_ngram_fraction(t, 3).alias("dup3_e4"),
-        textops.fingerprint(t).alias("fp"),
-    ).withColumn("text", textops.scrub_pii(t))
+    s = F.col("__scrubbed")
+    return (df
+            .select("*",
+                    textops.pii_count(t).alias("n_pii"),
+                    textops.fingerprint(t).alias("fp"),
+                    textops.scrub_pii(t).alias("__scrubbed"))
+            .select("*",
+                    textops.langid(s).alias("lang_id"),
+                    textops.token_count(s).cast("long").alias("n_tokens"),
+                    textops.dup_ngram_fraction(s, 3).alias("dup3_e4"))
+            .withColumn("text", s)
+            .drop("__scrubbed"))
 
 
 def curate_available_now(spark: SparkSession, docs_dir: str,

@@ -337,3 +337,32 @@ def test_parse_tounicode_cmap_forms():
     assert [table[c] for c in (0x10, 0x11, 0x12)] == ["A", "B", "C"]
     assert table[0x20] == "ff" and table[0x21] == "A"  # array + ligature
     assert table[0x01] == "€"
+
+
+def test_pdf_inherited_resources():
+    """/Resources hung on the /Pages tree node (inheritable attribute,
+    PDF 32000 §7.7.3.4) must still resolve fonts via /Parent — a page
+    with no local /Resources previously fell back to Latin-1 and
+    mis-decoded WinAnsi bytes like the em-dash."""
+    txt = "café — naïve résumé"
+    got = pdf_pages_text(make_pdf([txt], encoding="winansi",
+                                  inherit_resources=True))
+    assert " ".join(got[0].split()) == txt
+    got = pdf_pages_text(make_pdf(["Hello subset ✓", "two — naïve"],
+                                  encoding="subset",
+                                  inherit_resources=True))
+    assert [" ".join(g.split()) for g in got] == \
+        ["Hello subset ✓", "two — naïve"]
+
+
+def test_parse_tounicode_cmap_nonbmp_bfrange():
+    """bfrange with a surrogate-pair (non-BMP) scalar destination must
+    increment the LAST UTF-16 unit across the range (PDF 32000
+    §9.10.3), not map every code to the base — the mathematical-
+    alphanumeric block arXiv math fonts actually use."""
+    from multivac_spark.sources.pdftext import parse_tounicode_cmap
+    cmap = (b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"1 beginbfrange\n<0010> <0012> <D835DC00>\nendbfrange\n")
+    table, _ = parse_tounicode_cmap(cmap)
+    assert [table[c] for c in (0x10, 0x11, 0x12)] == \
+        ["\U0001D400", "\U0001D401", "\U0001D402"]

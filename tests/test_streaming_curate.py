@@ -70,3 +70,22 @@ def test_curate_stage_signals(spark):
     assert r["n_tokens"] == 13
     assert r["dup3_e4"] > 0          # "now now now ..." repeats 3-grams
     assert len(r["fp"]) == 32        # md5 prefix fingerprint
+
+
+def test_curate_stage_token_budget_on_scrubbed_text(spark):
+    """Token accounting must describe the STORED (scrubbed) text: a
+    multi-token phone number collapses to one <PHONE> token, and
+    n_tokens must reflect that — while fp stays on the original text
+    so dedup still matches other raw copies."""
+    raw = "call +1 555 123 4567 today"          # 6 whitespace tokens raw
+    df = spark.createDataFrame(
+        [("u1", None, None, raw, "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    r = curate_stage(df).collect()[0]
+    assert r["text"] == "call <PHONE> today"
+    assert r["n_tokens"] == 3                   # scrubbed, not 6
+    assert r["n_pii"] == 1
+    import hashlib
+    # fp = md5 of the first-5-token prefix of the ORIGINAL text
+    assert r["fp"] == hashlib.md5(b"call +1 555 123 4567").hexdigest()
