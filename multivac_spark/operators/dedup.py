@@ -218,8 +218,13 @@ def remove_repeated_spans(docs: DataFrame, span: int = 50,
     → (id, text, n_tokens_removed).
 
     Scale shape (no suffix array needed for fixed-length windows):
-    1. one narrow pass hashes every ``span``-gram (md5 — engine-
-       portable) with its position;
+    1. one narrow pass hashes every ``span``-gram with its position —
+       the gram key is a PAIR of seeded multi-arg ``xxhash64`` values
+       over the token tuple (the decontaminate trick: the ~300-byte
+       gram strings are never concatenated or md5'd; two longs ≈ 128
+       key bits, so at 100 TB gram counts (~1e13) the birthday
+       collision probability stays ~1e-13 — a single 64-bit key would
+       NOT be safe there, and a collision here wrongly deletes text);
     2. one groupBy(gram) finds grams with count > 1 and their
        canonical occurrence (min struct) — map-side combinable;
        singleton grams (the overwhelming majority) never leave the
@@ -234,13 +239,17 @@ def remove_repeated_spans(docs: DataFrame, span: int = 50,
     base = (docs.select(F.col(id_col), toks.alias("_ts"))
             .withColumn("_n", F.size("_ts"))
             .localCheckpoint())
+    def _gram_key(i):
+        toks = [F.element_at("_ts", i + j) for j in range(span)]
+        return F.struct(F.xxhash64(*toks).alias("h1"),
+                        F.xxhash64(F.lit(7), *toks).alias("h2"))
+
     grams = (base.filter(F.col("_n") >= span)
              .select(
                  id_col,
                  F.posexplode(F.transform(
                      F.sequence(F.lit(1), F.col("_n") - (span - 1)),
-                     lambda i: F.md5(F.concat_ws(
-                         " ", F.slice("_ts", i, span)))))
+                     _gram_key))
                  .alias("_off", "_g"))
              .select(id_col, (F.col("_off") + 1).alias("_pos"), "_g"))
     dup = (grams.groupBy("_g")
@@ -252,25 +261,42 @@ def remove_repeated_spans(docs: DataFrame, span: int = 50,
     removed = (grams.join(dup, "_g")
                .filter(~((F.col(id_col) == F.col("_k.d"))
                          & (F.col("_pos") == F.col("_k.p"))))
-               .select(id_col, "_pos"))
+               .select(id_col, "_pos")
+               .localCheckpoint())  # small (non-canonical occurrences
+    #                                only); feeds both touched_ids and
+    #                                covered without recomputing the
+    #                                gram agg twice
     covered = (removed
                .select(id_col,
                        F.explode(F.sequence(
                            F.col("_pos"),
                            F.col("_pos") + (span - 1))).alias("_cp"))
                .distinct())
-    tokpos = base.select(
+    # Only docs that actually lost a span pay the token-explode →
+    # anti-join → regroup rebuild; everyone else (the overwhelming
+    # majority of a web corpus) passes through a narrow projection.
+    # At 100 TB this keeps the rebuild shuffle proportional to the
+    # DUPLICATED slice, not the whole corpus.
+    touched_ids = removed.select(id_col).distinct()
+    touched = base.join(touched_ids, id_col, "left_semi")
+    tokpos = touched.select(
         id_col, "_n",
         F.posexplode("_ts").alias("_off", "_tok")) \
         .select(id_col, "_n", (F.col("_off") + 1).alias("_cp"), "_tok")
     kept = tokpos.join(covered, [id_col, "_cp"], "left_anti")
-    return (kept.groupBy(id_col)
-            .agg(F.array_sort(F.collect_list(
-                     F.struct("_cp", "_tok"))).alias("_ls"),
-                 F.first("_n").alias("_n"))
-            .select(
-                id_col,
-                F.array_join(F.transform("_ls", lambda s: s["_tok"]),
-                             " ").alias(text_col),
-                (F.col("_n") - F.size("_ls")).cast("long")
-                .alias("n_tokens_removed")))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(
+                        F.struct("_cp", "_tok"))).alias("_ls"),
+                    F.first("_n").alias("_n"))
+               .select(
+                   id_col,
+                   F.array_join(F.transform("_ls", lambda s: s["_tok"]),
+                                " ").alias(text_col),
+                   (F.col("_n") - F.size("_ls")).cast("long")
+                   .alias("n_tokens_removed")))
+    untouched = (base.join(touched_ids, id_col, "left_anti")
+                 .select(F.col(id_col),
+                         F.array_join("_ts", " ").alias(text_col),
+                         F.lit(0).cast("long")
+                         .alias("n_tokens_removed")))
+    return rebuilt.unionByName(untouched)
