@@ -458,6 +458,51 @@ FROM documents
 """
 
 
+def q_text_signals(spark, sf_dir):
+    """All per-row text-analysis signals in ONE projection: token /
+    BPE-pretoken / char counts, stopword + digit-token counts
+    (quality), language ID, prefix fingerprint. Consolidates the
+    former token_count / quality_score / langid / fingerprint entries
+    (one driver row grades all six operators; each still has its own
+    pytest) — and one pass over the corpus is also the 100 TB shape:
+    these signals should never cost four scans."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.token_count(F.col("text")).alias("n_tokens"),
+        textops.bpe_token_count(F.col("text")).alias("n_bpe"),
+        textops.char_sum(F.col("text")).alias("n_chars"),
+        textops.stopword_count(F.col("text")).alias("n_stopwords"),
+        textops.digit_token_count(F.col("text")).alias("n_digit_tokens"),
+        textops.langid(F.col("text")).alias("lang_pred"),
+        textops.fingerprint(F.col("text")).alias("fp"))
+
+
+def _text_signals_sql() -> str:
+    lang_case = _langid_sql().split("SELECT doc_id, ", 1)[1] \
+        .rsplit(" AS lang_pred FROM documents", 1)[0]
+    return rf"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+            AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+|\s+'))
+            AS INT) AS n_bpe,
+       CAST(list_sum(list_transform(
+            list_filter(string_split(text, ' '), t -> t <> ''),
+            t -> length(t))) AS INT) AS n_chars,
+       CAST(len(list_filter(string_split(lower(text), ' '),
+            t -> t <> '' AND t IN {STOP_SQL})) AS INT) AS n_stopwords,
+       CAST(len(list_filter(string_split(text, ' '),
+            t -> t <> '' AND regexp_matches(t, '[0-9]'))) AS INT)
+           AS n_digit_tokens,
+       {lang_case} AS lang_pred,
+       md5(array_to_string(list_slice(
+           list_filter(string_split(text, ' '), t -> t <> ''), 1, 5), ' '))
+           AS fp
+FROM documents
+"""
+
+
 def q_exact_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_dup_groups(docs)
@@ -1320,6 +1365,27 @@ KG_PDF_N = 1309
 KG_PDF_HASH = "b467c56201e0f4348176dc975efce743"
 
 
+def q_kg_pipeline_variants(spark, sf_dir):
+    """The three non-default full-pipeline routes — Phase-II textacy
+    extractor, coref-on staged path, PDF-ingest — as ONE entry of
+    (variant, n_triples, set_hash) rows against their pinned golden
+    digests (consolidated from three single-digest entries so every
+    registry entry fits the driver's 50-query grading cap; each
+    variant's digest provenance is unchanged — see the per-variant
+    q_ functions and golden constants above/below)."""
+    rows = [
+        ("textacy", q_kg_pipeline_textacy(spark, sf_dir)),
+        ("coref", q_kg_pipeline_coref(spark, sf_dir)),
+        ("pdf", q_kg_pipeline_pdf(spark, sf_dir)),
+    ]
+    out = None
+    for name, df in rows:
+        part = df.select(F.lit(name).alias("variant"),
+                         "n_triples", "set_hash")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def q_kg_pipeline_pdf(spark, sf_dir):
     """full KG construction from a PDF corpus: pdf bytes → text
     (sources/pdftext.pdf_text_stage) → pipeline → (count, sorted-set
@@ -1343,6 +1409,13 @@ def q_kg_pipeline_pdf(spark, sf_dir):
                      F.concat_ws("|", "subj", "pred", "obj")))))
                  .alias("set_hash")))
 
+
+SQL_KG_VARIANTS = (
+    "SELECT v AS variant, CAST(n AS BIGINT) AS n_triples, "
+    "h AS set_hash FROM (VALUES "
+    f"('textacy', {KG_TEXTACY_N}, '{KG_TEXTACY_HASH}'), "
+    f"('coref', {KG_COREF_N}, '{KG_COREF_HASH}'), "
+    f"('pdf', {KG_PDF_N}, '{KG_PDF_HASH}')) AS t(v, n, h)")
 
 SQL_KG_PDF = (f"SELECT CAST({KG_PDF_N} AS BIGINT) AS n_triples, "
               f"'{KG_PDF_HASH}' AS set_hash")
@@ -1697,6 +1770,117 @@ def q_minhash_dup_pairs(spark, sf_dir):
     return dedup.minhash_dup_pairs(docs, bands=4, rows=2)
 
 
+def q_simhash_dup_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming ≤ 3 over 32-bit signatures
+    (pigeonhole banding → band-bucket equi-join → exact Hamming
+    verify). 32 bits (md5's full hex width under the per-digit-parity
+    model) keeps chance collisions ~1e-6 so pairs are true near-dups.
+    Subsumes the plain `simhash` signature entry — the twin replays
+    the full 32-bit signature construction inside the pair SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_dup_pairs(docs, n_bits=32, max_hamming=3)
+
+
+def q_subword_tokens(spark, sf_dir, n_merges: int = 12):
+    """Trained BPE sub-word token budget per document: learn
+    ``n_merges`` merges from the corpus word-type histogram
+    (deterministic count-then-lexicographic tie-break), apply via a
+    broadcast word→n_units table. The DuckDB twin replays the WHOLE
+    operator — histogram, every merge-learning step, application —
+    in SQL, no frozen values (operators/subword.py)."""
+    from multivac_spark.operators import subword
+
+    docs = _t(spark, sf_dir, "documents")
+    wc = subword.word_histogram(docs).localCheckpoint()
+    merges = subword.train_bpe_local(
+        [(r["word"], r["cnt"]) for r in wc.collect()], n_merges)
+    return subword.subword_token_counts(docs, merges, wc)
+
+
+def _subword_sql(n_merges: int = 12) -> str:
+    """DuckDB twin of q_subword_tokens: layered CTEs — one
+    (pair-count → best-pair → replace) triple per merge step, then
+    the broadcast-join application. Literal replace() has identical
+    leftmost-nonoverlap semantics in both engines, which is exactly
+    BPE's occurrence rule under the ··-anchored encoding."""
+    pat = (r"''(?:s|t|re|ve|m|ll|d)"
+           r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+    ctes = [
+        f"w AS (SELECT word, COUNT(*) AS cnt FROM ("
+        f"SELECT UNNEST(regexp_extract_all(text, '{pat}')) AS word "
+        f"FROM documents) WHERE NOT contains(word, '·') GROUP BY word)",
+        "l0 AS MATERIALIZED (SELECT word, cnt, '··' || array_to_string("
+        "list_transform(generate_series(1, length(word)), i -> word[i]),"
+        " '··') || '··' AS s FROM w)"]
+    for k in range(n_merges):
+        ctes.append(
+            f"p{k} AS MATERIALIZED (SELECT p.a AS a, p.b AS b, SUM(cnt) AS c FROM ("
+            f"SELECT cnt, UNNEST(list_transform("
+            f"generate_series(1, len(u) - 1), "
+            f"i -> {{'a': u[i], 'b': u[i + 1]}})) AS p FROM ("
+            f"SELECT cnt, list_filter(string_split(s, '··'), "
+            f"x -> x <> '') AS u FROM l{k}) WHERE len(u) >= 2) "
+            f"GROUP BY 1, 2)")
+        ctes.append(
+            f"b{k} AS (SELECT a, b FROM p{k} "
+            f"ORDER BY c DESC, a, b LIMIT 1)")
+        ctes.append(
+            f"l{k + 1} AS MATERIALIZED (SELECT word, cnt, CASE WHEN b{k}.a IS NULL "
+            f"THEN s ELSE replace(s, '·' || b{k}.a || '··' || b{k}.b "
+            f"|| '·', '·' || b{k}.a || b{k}.b || '·') END AS s "
+            f"FROM l{k} LEFT JOIN b{k} ON TRUE)")
+    ctes.append(
+        f"fin AS (SELECT word, len(list_filter(string_split(s, '··'), "
+        f"x -> x <> '')) AS nu FROM l{n_merges})")
+    ctes.append(
+        f"docw AS (SELECT doc_id, UNNEST(regexp_extract_all(text, "
+        f"'{pat}')) AS word FROM documents)")
+    ctes.append(
+        "agg AS (SELECT doc_id, COUNT(*) AS n_words, "
+        "SUM(COALESCE(fin.nu, length(docw.word))) AS n_subwords "
+        "FROM docw LEFT JOIN fin USING (word) GROUP BY doc_id)")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            "SELECT d.doc_id, "
+            "CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words, "
+            "CAST(COALESCE(n_subwords, 0) AS BIGINT) AS n_subwords "
+            "FROM documents d LEFT JOIN agg USING (doc_id)")
+
+
+def _simhash_pairs_sql(n_bits: int = 32, max_hamming: int = 3) -> str:
+    """DuckDB twin of dedup.simhash_dup_pairs: identical per-hex-digit
+    parity signature, substring band keys, band self-join, per-position
+    Hamming sum."""
+    toks = "list_filter(string_split(text, ' '), t -> t <> '')"
+    bits = []
+    for b in range(n_bits):
+        s = (f"list_sum(list_transform({toks}, t -> CASE WHEN "
+             f"substring(md5(t), {b + 1}, 1) IN {_ODD} "
+             f"THEN 1 ELSE -1 END))")
+        bits.append(f"CASE WHEN {s} > 0 THEN '1' ELSE '0' END")
+    sig = " || ".join(bits)
+    bands = max_hamming + 1
+    width = n_bits // bands
+    band_selects = [
+        f"SELECT doc_id, sig, {b} AS band, "
+        f"substring(sig, {b * width + 1}, {width}) AS bkey FROM sigs"
+        for b in range(bands)]
+    ham = " + ".join(
+        f"CASE WHEN substring(sa, {i + 1}, 1) <> substring(sb, {i + 1}, 1) "
+        f"THEN 1 ELSE 0 END" for i in range(n_bits))
+    return f"""
+WITH sigs AS (SELECT doc_id, {sig} AS sig FROM documents),
+banded AS ({' UNION ALL '.join(band_selects)}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                  x.sig AS sa, y.sig AS sb
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+SELECT a, b, hamming FROM (
+  SELECT a, b, CAST({ham} AS BIGINT) AS hamming FROM cand)
+WHERE hamming <= {max_hamming}
+"""
+
+
 # LaTeX → dependency tuples (equationparsing.py:80-295 port): each doc
 # carries a deterministic doc_id-derived equation; the Spark side runs
 # the eqparse kernel distributed, the oracle replays the same pure-
@@ -1971,13 +2155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_centrality": q_degree_centrality,
         "centrality_delta": q_centrality_delta,
         "top_triples_by_gain": q_top_triples_by_gain,
-        "token_count": q_token_count,
-        "quality_score": q_quality_score,
-        "langid": q_langid,
-        "fingerprint": q_fingerprint,
+        "text_signals": q_text_signals,
         "exact_dedup": q_exact_dedup,
         "minhash_signature": q_minhash_signature,
-        "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "repetition_stats": q_repetition_stats,
         "domain_cap": q_domain_cap,
@@ -1995,15 +2175,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cleaner_regex": q_cleaner_regex,
         "tfidf": q_tfidf,
         "kg_pipeline_synth": q_kg_pipeline_synth,
-        "kg_pipeline_textacy": q_kg_pipeline_textacy,
-        "kg_pipeline_coref": q_kg_pipeline_coref,
-        "kg_pipeline_pdf": q_kg_pipeline_pdf,
+        "kg_pipeline_variants": q_kg_pipeline_variants,
         "kg_incremental_counts": q_kg_incremental_counts,
         "kron_fit": q_kron_fit,
         "eigenvector_centrality": q_eigenvector_centrality,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "minhash_dup_pairs": q_minhash_dup_pairs,
+        "simhash_dup_pairs": q_simhash_dup_pairs,
+        "subword_tokens": q_subword_tokens,
         "equation_deps": q_equation_deps,
         "link_prediction": q_link_prediction,
         "session_agg": q_session_agg,
@@ -2030,13 +2210,9 @@ def oracle_sql() -> dict[str, str]:
         "degree_centrality": SQL_DEGREE,
         "centrality_delta": SQL_DELTA,
         "top_triples_by_gain": SQL_TOP_GAIN,
-        "token_count": SQL_TOKEN_COUNT,
-        "quality_score": SQL_QUALITY,
-        "langid": _langid_sql(),
-        "fingerprint": SQL_FINGERPRINT,
+        "text_signals": _text_signals_sql(),
         "exact_dedup": SQL_EXACT_DEDUP,
         "minhash_signature": _minhash_sql(),
-        "simhash": _simhash_sql(),
         "ngram_jaccard": _jaccard_sql(),
         "repetition_stats": SQL_REPETITION,
         "domain_cap": SQL_DOMAIN_CAP,
@@ -2054,15 +2230,15 @@ def oracle_sql() -> dict[str, str]:
         "cleaner_regex": SQL_CLEANER,
         "tfidf": SQL_TFIDF,
         "kg_pipeline_synth": SQL_KG_SYNTH,
-        "kg_pipeline_textacy": SQL_KG_TEXTACY,
-        "kg_pipeline_coref": SQL_KG_COREF,
-        "kg_pipeline_pdf": SQL_KG_PDF,
+        "kg_pipeline_variants": SQL_KG_VARIANTS,
         "kg_incremental_counts": SQL_INC_COUNTS,
         "kron_fit": SQL_KRON_FIT,
         "eigenvector_centrality": SQL_EIGEN,
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "minhash_dup_pairs": _minhash_pairs_sql(),
+        "simhash_dup_pairs": _simhash_pairs_sql(),
+        "subword_tokens": _subword_sql(),
         "equation_deps": _equation_deps_sql(),
         "link_prediction": SQL_LINKPRED,
         "session_agg": SQL_SESSION,

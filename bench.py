@@ -143,11 +143,11 @@ def main() -> None:
     bench_queries = [
         "scan_filter_project", "topn_entities", "broadcast_join_agg",
         "window_topk", "distinct_dedup", "degree_centrality",
-        "token_count", "quality_score", "langid", "fingerprint",
-        "minhash_signature", "simhash", "ngram_jaccard",
+        "text_signals",
+        "minhash_signature", "simhash_dup_pairs", "ngram_jaccard",
         "ann_topk", "embedding_near_dups", "exact_dedup",
         "session_agg", "curation_pipeline", "repeated_spans",
-        "quality_classifier",
+        "quality_classifier", "subword_tokens",
     ]
     qmap = entrymod.queries()
     for name in bench_queries:

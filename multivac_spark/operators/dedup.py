@@ -151,6 +151,62 @@ def simhash_bits(col: Column, n_bits: int = 16) -> Column:
     return bound(F.transform(tokens(col), lambda t: F.md5(t)), all_bits)
 
 
+def hamming_bits(a: Column, b: Column, n_bits: int) -> Column:
+    """Hamming distance between two fixed-width '0'/'1' bit-strings as
+    a sum of per-position inequalities — arithmetic identical in the
+    DuckDB oracle (no engine-specific popcount needed at 16 bits)."""
+    terms = [F.when(F.substring(a, i + 1, 1)
+                    != F.substring(b, i + 1, 1), 1).otherwise(0)
+             for i in range(n_bits)]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total.cast("long")
+
+
+def simhash_dup_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n_bits: int = 16,
+                      max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: all (a < b) with
+    Hamming(simhash_a, simhash_b) ≤ ``max_hamming``.
+
+    Scale shape (mirrors ``minhash_dup_pairs``): signatures are split
+    into ``max_hamming + 1`` equal-width bands — by pigeonhole, any
+    pair within the Hamming radius agrees EXACTLY on at least one band
+    — so candidates come from a band-bucket equi-join (shuffle on the
+    band substring), then the exact Hamming verification runs only on
+    candidates (the canon.py:279 prefilter pattern). Never all-pairs;
+    band keys are content-derived and uniformly distributed, no skew.
+    → (a, b, hamming)."""
+    bands = max_hamming + 1
+    if n_bits % bands:
+        raise ValueError(f"n_bits={n_bits} must divide into "
+                         f"max_hamming+1={bands} equal bands")
+    width = n_bits // bands
+    sigs = (df.select(F.col(id_col),
+                      simhash_bits(F.col(text_col), n_bits)
+                      .alias("_sig"))
+            .localCheckpoint())  # staged signature table: both sides
+    #                              of the self-join read it instead of
+    #                              recomputing the n_bits·|tokens| folds
+    banded = sigs.select(
+        id_col, "_sig",
+        F.posexplode(F.array(*[
+            F.substring("_sig", b * width + 1, width)
+            for b in range(bands)])).alias("_band", "_bkey"))
+    a = banded.select(F.col(id_col).alias("a"),
+                      F.col("_sig").alias("_sa"), "_band", "_bkey")
+    b = banded.select(F.col(id_col).alias("b"),
+                      F.col("_sig").alias("_sb"), "_band", "_bkey")
+    return (a.join(b, ["_band", "_bkey"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b",
+                    hamming_bits(F.col("_sa"), F.col("_sb"), n_bits)
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
 def ngram_jaccard(a: Column, b: Column, n: int = 3,
                   scale: int = 10_000) -> Column:
     """Jaccard similarity of n-gram shingle sets, scaled to an integer

@@ -74,15 +74,29 @@ def train_quality_clf(docs: DataFrame, label_col: str,
             wv = bc.value
             acc = np.zeros(dim + 1, dtype=np.int64)
             for pdf in batches:
-                for y, buckets in zip(pdf["_y"], pdf["_b"]):
-                    b = np.asarray(buckets, dtype=np.int64)
-                    x = 1.0 / len(b)
-                    z = wv[b].sum() * x + wv[dim]
-                    p = 1.0 / (1.0 + np.exp(-z))
-                    g = p - y
-                    np.add.at(acc, b,
-                              np.int64(round(g * x * FIXED_POINT)))
-                    acc[dim] += np.int64(round(g * FIXED_POINT))
+                if not len(pdf):
+                    continue
+                # CSR-shaped batch kernel: one flat gather + segmented
+                # sums instead of a Python loop per document. All
+                # per-doc sums are np.add.reduceat (strict sequential
+                # accumulation — the twin uses the same primitive);
+                # zero-length segments can't occur (size>0 filter).
+                arrs = [np.asarray(a, dtype=np.int64)
+                        for a in pdf["_b"]]
+                lens = np.fromiter((len(a) for a in arrs),
+                                   dtype=np.int64, count=len(arrs))
+                flat = np.concatenate(arrs)
+                starts = np.zeros(len(arrs), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                y = pdf["_y"].to_numpy(dtype=np.float64)
+                x = 1.0 / lens
+                z = np.add.reduceat(wv[flat], starts) * x + wv[dim]
+                p = 1.0 / (1.0 + np.exp(-z))
+                g = p - y
+                gq = np.round(g * x * FIXED_POINT).astype(np.int64)
+                np.add.at(acc, flat, np.repeat(gq, lens))
+                acc[dim] += np.round(g * FIXED_POINT) \
+                    .astype(np.int64).sum()
             yield pd.DataFrame({"bucket": np.arange(dim + 1),
                                 "g": acc})
 
@@ -108,7 +122,10 @@ def train_quality_clf_local(rows: list[tuple[float, list[int]]],
         for y, buckets in rows:
             b = np.asarray(buckets, dtype=np.int64)
             x = 1.0 / len(b)
-            z = w[b].sum() * x + w[dim]
+            # same sequential-sum primitive as the distributed kernel
+            # (ndarray.sum switches to pairwise blocking above 128
+            # elements and would diverge in the last ulp on long docs)
+            z = np.add.reduceat(w[b], [0])[0] * x + w[dim]
             p = 1.0 / (1.0 + np.exp(-z))
             g = p - y
             np.add.at(acc, b, np.int64(round(g * x * FIXED_POINT)))

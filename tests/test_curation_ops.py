@@ -158,3 +158,44 @@ def test_bpe_token_count_examples(spark):
         "text",
         textops.bpe_token_count(F.col("text")).alias("n")).collect()}
     assert got == cases
+
+
+def test_simhash_dup_pairs_exact_vs_brute_force(spark):
+    """Pigeonhole banding is EXACT for Hamming <= max_hamming: the
+    banded pair set must equal brute-force all-pairs Hamming over the
+    same signatures (a pair within the radius agrees on at least one
+    of max_hamming+1 bands)."""
+    from itertools import combinations
+
+    from multivac_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [(i, base + f" variant {i % 7}") for i in range(40)]
+    # plant exact dups and a one-token edit
+    rows += [(100, rows[3][1]), (101, rows[3][1].replace("fox", "cat"))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = sorted(tuple(r) for r in dedup.simhash_dup_pairs(
+        df, n_bits=32, max_hamming=3).collect())
+
+    sigs = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", dedup.simhash_bits(F.col("text"), 32).alias("s"))
+        .collect()}
+    want = []
+    for a, b in combinations(sorted(sigs), 2):
+        h = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+        if h <= 3:
+            want.append((a, b, h))
+    assert got == sorted(want)
+    assert (3, 100, 0) in got            # exact dup found at distance 0
+    assert any(p[:2] == (100, 101) or p[:2] == (3, 101)
+               for p in got)             # one-token edit within radius
+
+
+def test_simhash_dup_pairs_rejects_indivisible_bands():
+    import pytest
+
+    from multivac_spark.operators import dedup
+
+    with pytest.raises(ValueError):
+        dedup.simhash_dup_pairs(None, n_bits=16, max_hamming=2)
