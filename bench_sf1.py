@@ -47,8 +47,8 @@ def main() -> None:
     try:
         t0 = time.time()
         corpus.documents_df(spark, n_docs, partitions=max(cpus * 4, 128)) \
-            .write.mode("overwrite").parquet(f"{tmp}/documents")
-        docs = spark.read.parquet(f"{tmp}/documents")
+            .write.mode("overwrite").parquet(f"{tmp}/web_documents")
+        docs = spark.read.parquet(f"{tmp}/web_documents")
         emb = corpus.embeddings_df(spark)
         timings["corpus_materialize"] = round(time.time() - t0, 3)
 
@@ -85,6 +85,56 @@ def main() -> None:
         graph = materialize.build_graph_tables(final)
         n_edges = graph["edges"].count()
         timings["kg_canonicalize_materialize"] = round(time.time() - t0, 3)
+
+        # curation-operator ladder at the same scale: the entry
+        # queries run against a driver-SHAPED documents table
+        # synthesized at sf1.0 (same 31-word vocabulary, 10-100 token
+        # lengths, 20 sources, planted doc-pair duplicates — Column-
+        # only deterministic generation seeded by doc_id), written to
+        # tmp so sf_dir points at it
+        from pyspark.sql import functions as F
+        n_qdocs = n_docs // 2  # sf1.0 documents table = 50k at sf0.1 x10
+        vocab31 = ["a", "agg", "batch", "big", "column", "customer",
+                   "data", "dup", "fast", "filter", "group", "hash",
+                   "join", "key", "line", "merge", "order", "part",
+                   "query", "row", "scan", "slow", "small", "sort",
+                   "spark", "stream", "table", "the", "value",
+                   "vector", "window"]
+        vlit = F.array(*[F.lit(w) for w in vocab31])
+        seed = F.when(F.col("id") % 617 == 0, F.col("id") - 1)             .otherwise(F.col("id"))  # every 617th doc duplicates its
+        #                              predecessor (exact-dup planting)
+        dlen = (F.pmod(F.xxhash64(seed, F.lit(0)), F.lit(91)) + 10)
+        text = F.array_join(
+            F.transform(F.sequence(F.lit(1), dlen),
+                        lambda i: F.element_at(
+                            vlit, F.pmod(F.xxhash64(seed, i),
+                                         F.lit(31)).cast("int") + 1)),
+            " ")
+        (spark.range(n_qdocs)
+         .repartition(max(cpus * 4, 128))
+         .select(F.col("id").alias("doc_id"), text.alias("text"),
+                 F.element_at(F.array(F.lit("en"), F.lit("zh"),
+                                      F.lit("de"), F.lit("fr"),
+                                      F.lit("es")),
+                              F.pmod(F.xxhash64("id", F.lit(7)),
+                                     F.lit(5)).cast("int") + 1)
+                 .alias("lang"),
+                 F.concat(F.lit("src"),
+                          (F.col("id") % 20).cast("string"))
+                 .alias("source"))
+         .withColumn("n_chars", F.length("text").cast("long"))
+         .write.mode("overwrite").parquet(f"{tmp}/documents.parquet"))
+        import __spark_entry__ as entrymod
+        qmap = entrymod.queries()
+        for qname in ("text_signals", "minhash_signature",
+                      "ngram_jaccard", "simhash_dup_pairs",
+                      "minhash_dup_pairs", "exact_dedup",
+                      "repeated_spans", "subword_tokens",
+                      "curation_pipeline"):
+            t0 = time.time()
+            qmap[qname](spark, tmp).write.format("noop") \
+                .mode("overwrite").save()
+            timings[qname] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

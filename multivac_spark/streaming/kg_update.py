@@ -80,7 +80,9 @@ def read_counts(spark: SparkSession, counts_dir: str,
     m = _read_manifest(counts_dir)
     if m["version"] < 0:
         return None
-    vdir = m.get("dir", f"v{m['version']:06d}")  # pre-round-4 layout
+    # fallback covers pre-round-4 checkpoints whose manifests lack
+    # "dir" (v{N} layout); removable once no such checkpoints exist
+    vdir = m.get("dir", f"v{m['version']:06d}")
     return spark.read.parquet(os.path.join(counts_dir, vdir, table))
 
 
