@@ -168,18 +168,21 @@ def subword_token_counts(docs: DataFrame, merges: list[tuple[str, str]],
     table broadcast onto the exploded doc→word stream — per-document
     BPE never runs; OOV words cost their character length."""
     wordtab = apply_merges(word_counts, merges)
+    # explode_outer keeps zero-word documents as a single null-word
+    # row, so ONE scan + ONE shuffle (the per-doc agg) covers every
+    # document — the explode+restore-join alternative scans the table
+    # twice and sort-merge-joins on id (plan-audited in PLANS.md).
+    # count("word") skips the null row; the null row's sum term is
+    # null (char_length(null)) and is likewise skipped.
     doc_words = docs.select(
-        F.col(id_col), F.explode(pretokens(F.col(text_col))).alias("word"))
-    agg = (doc_words
-           .join(F.broadcast(wordtab), "word", "left")
-           .groupBy(id_col)
-           .agg(F.count(F.lit(1)).alias("n_words"),
-                F.sum(F.coalesce(F.col("n_units"),
-                                 F.char_length("word").cast("long")))
-                .alias("n_subwords")))
-    return (docs.select(id_col).join(agg, id_col, "left")
-            .select(F.col(id_col),
-                    F.coalesce("n_words", F.lit(0)).cast("long")
-                    .alias("n_words"),
-                    F.coalesce("n_subwords", F.lit(0)).cast("long")
-                    .alias("n_subwords")))
+        F.col(id_col),
+        F.explode_outer(pretokens(F.col(text_col))).alias("word"))
+    return (doc_words
+            .join(F.broadcast(wordtab), "word", "left")
+            .groupBy(id_col)
+            .agg(F.count("word").cast("long").alias("n_words"),
+                 F.coalesce(
+                     F.sum(F.coalesce(F.col("n_units"),
+                                      F.char_length("word")
+                                      .cast("long"))),
+                     F.lit(0)).cast("long").alias("n_subwords")))
