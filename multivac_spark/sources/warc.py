@@ -1,0 +1,222 @@
+"""WARC (Web ARChive, ISO 28500 / WARC 1.0) source + sink — the
+container format web-scale corpora actually arrive in (Common Crawl
+ships ~90k ``.warc.gz`` files per monthly snapshot).
+
+The reference ingests HTML/PDF fetched per-article over APIs
+(src/data/get_papers.py); a 100 TB webtext run instead reads archived
+crawl containers, so this module closes that ingestion gap Spark-first:
+
+* **Sink** (`write_warc`): one ``.warc.gz`` per input partition,
+  written executor-side (``mapInPandas`` — no driver funnel, no
+  collect). Records follow the public WARC/1.0 spec: a ``warcinfo``
+  header record per file, then one ``response`` record per page with
+  an ``HTTP/1.1 200 OK`` block wrapping the payload. The generator's
+  ``lang`` column rides Common Crawl's real extension header
+  ``WARC-Identified-Content-Language`` so a read-back reconstructs the
+  full documents schema with zero side-channel.
+* **Source** (`read_warc`): ``spark.read.format("binaryFile")`` over
+  the ``.warc.gz`` glob → an Arrow-batched ``mapInPandas`` parser.
+  One task per archive file — exactly the Common Crawl processing
+  grain (files are sized ~1 GB for this reason; at 100 TB the *file
+  list* is the parallelism axis, ~100k tasks, and Spark schedules
+  them without any shuffle). Record framing follows the spec:
+  ``WARC/1.0`` version line, CRLF header block, ``Content-Length``
+  octet-exact body, CRLF CRLF record separator. Malformed records are
+  skipped per-record (never fail the file); the HTTP block is split
+  at the first CRLFCRLF per RFC 9112.
+
+Scale notes: per-file tasks mean no skew beyond file-size variance
+(Common Crawl files are uniform by construction); whole-file gzip is
+used rather than per-record gzip members because the per-file task
+never needs random access — offset-indexed member access (CDX-style)
+only pays when fetching single records, not for bulk scans. The
+parser is a single sequential pass per file, O(file) memory.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from datetime import datetime, timezone
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: read-back schema == corpus.DOCUMENTS_SCHEMA (text stays NULL until
+#: the extract stage, matching the parquet corpus exactly)
+WARC_DOCS_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                    "text string, lang string")
+
+_CRLF = b"\r\n"
+
+
+def _warc_date(ts) -> str:
+    """WARC-Date: UTC W3C-ISO8601 (spec §5.4). Naive timestamps are
+    taken as UTC (the corpus generator's convention)."""
+    if isinstance(ts, pd.Timestamp):
+        ts = ts.to_pydatetime()
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+    return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _record(warc_type: str, headers: list[tuple[str, str]],
+            body: bytes) -> bytes:
+    """One WARC/1.0 record: version line, headers (incl. the
+    octet-exact Content-Length), CRLF, body, CRLF CRLF (spec §4)."""
+    head = [b"WARC/1.0"]
+    head += [f"WARC-Type: {warc_type}".encode("ascii")]
+    head += [f"{k}: {v}".encode("utf-8") for k, v in headers]
+    head += [f"Content-Length: {len(body)}".encode("ascii")]
+    return _CRLF.join(head) + _CRLF + _CRLF + body + _CRLF + _CRLF
+
+
+def _http_block(payload: bytes) -> bytes:
+    """Minimal stored HTTP/1.1 response (msgtype=response payloads
+    embed the protocol block, spec annex; split back at first
+    CRLFCRLF per RFC 9112)."""
+    return (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n"
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode("ascii")
+            + payload)
+
+
+def make_warc_file(rows: list[dict], filename: str = "part") -> bytes:
+    """Serialize rows (url, warc_ts, html, lang) into one gzipped WARC
+    file: warcinfo record + one response record per row. Record IDs
+    are deterministic (url-derived) so output is reproducible."""
+    buf = io.BytesIO()
+    info = (b"software: multivac-spark\r\nformat: WARC File Format 1.0\r\n")
+    chunks = [_record("warcinfo", [
+        ("WARC-Record-ID", f"<urn:multivac:warcinfo:{filename}>"),
+        ("WARC-Date", _warc_date(datetime(2020, 1, 1))),
+        ("WARC-Filename", filename),
+        ("Content-Type", "application/warc-fields"),
+    ], info)]
+    for r in rows:
+        html = r["html"] if r["html"] is not None else b""
+        hdrs = [
+            ("WARC-Record-ID", f"<urn:multivac:response:{r['url']}>"),
+            ("WARC-Date", _warc_date(r["warc_ts"])),
+            ("WARC-Target-URI", r["url"]),
+            ("Content-Type", "application/http; msgtype=response"),
+        ]
+        if r.get("lang"):
+            # Common Crawl's real extension header (added 2018)
+            hdrs.append(("WARC-Identified-Content-Language", r["lang"]))
+        chunks.append(_record("response", hdrs, _http_block(html)))
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        for c in chunks:
+            gz.write(c)
+    return buf.getvalue()
+
+
+def write_warc(docs: DataFrame, out_dir: str) -> int:
+    """Write a documents DataFrame as one ``.warc.gz`` per partition,
+    executor-side (the sink never funnels bytes through the driver).
+    Returns the number of files written. Filenames are partition-
+    indexed and deterministic for a fixed partitioning."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = ["url", "warc_ts", "html", "lang"]
+
+    def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        rows: list[dict] = []
+        for pdf in batches:
+            rows.extend(pdf[cols].to_dict("records"))
+        if rows:
+            rows.sort(key=lambda r: r["url"])  # stable within file
+            name = f"part-{pid:05d}.warc.gz"
+            data = make_warc_file(rows, name)
+            tmp = os.path.join(out_dir, f".{name}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, os.path.join(out_dir, name))
+            yield pd.DataFrame({"n": [len(rows)]})
+
+    n = (docs.select(*cols).mapInPandas(dump, schema="n long")
+         .agg({"n": "count"}).collect()[0][0])
+    return int(n)
+
+
+def parse_warc_bytes(data: bytes) -> list[dict]:
+    """Sequential single-pass parse of one (gzipped or plain) WARC
+    file's bytes → row dicts. Spec framing: records are delimited by
+    their octet-exact Content-Length plus the CRLF CRLF separator —
+    NEVER by scanning for 'WARC/1.0' in content (payloads may contain
+    it). Malformed records are skipped; parsing continues at the next
+    well-formed boundary."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)  # handles concatenated members
+    out: list[dict] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        # skip inter-record padding
+        while pos < n and data[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        eol = data.find(_CRLF, pos)
+        if eol < 0 or not data[pos:eol].startswith(b"WARC/"):
+            break  # cannot re-frame without a version line
+        hend = data.find(_CRLF + _CRLF, eol)
+        if hend < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in data[eol + 2:hend].split(_CRLF):
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = \
+                v.strip().decode("utf-8", "replace")
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            break  # framing lost
+        body = data[hend + 4:hend + 4 + clen]
+        pos = hend + 4 + clen
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        date = headers.get("warc-date")
+        if not url or not date:
+            continue  # malformed record: skip, framing intact
+        http_end = body.find(_CRLF + _CRLF)
+        payload = body[http_end + 4:] if http_end >= 0 else b""
+        try:
+            ts = datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ")
+        except ValueError:
+            continue
+        out.append({
+            "url": url,
+            "warc_ts": ts,
+            "html": payload if payload else None,
+            "text": None,
+            "lang": headers.get("warc-identified-content-language"),
+        })
+    return out
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """``.warc[.gz]`` glob → documents DataFrame (url, warc_ts, html,
+    text=NULL, lang). One task per file — the Common Crawl grain; the
+    binaryFile source carries (path, content) and Spark parallelizes
+    over the file list, so 100k archive files = 100k narrow tasks with
+    no shuffle anywhere."""
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.warc*")
+             .load(path)
+             .select("content"))
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for data in pdf["content"]:
+                rows.extend(parse_warc_bytes(bytes(data)))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return files.mapInPandas(parse, schema=WARC_DOCS_SCHEMA)

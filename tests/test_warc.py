@@ -1,0 +1,121 @@
+"""WARC source/sink: spec framing + generator-ground-truth roundtrip.
+
+The oracle is the corpus generator itself: a documents DataFrame
+written as WARC and read back must reproduce every row byte-for-byte
+(url, warc_ts, html payload, lang via Common Crawl's
+WARC-Identified-Content-Language header, text still NULL) — the same
+ground-truth-path posture as the PDF goldens."""
+
+import gzip
+from datetime import datetime
+
+import pytest
+
+from multivac_spark.sources import corpus, warc
+
+
+def _row(url="https://h.example/a", ts=None, html=b"<html>x</html>",
+         lang="en"):
+    return {"url": url, "warc_ts": ts or datetime(2020, 3, 1, 12, 0, 5),
+            "html": html, "lang": lang}
+
+
+# ---------------------------------------------------------------------------
+# pure-function framing
+# ---------------------------------------------------------------------------
+
+def test_single_record_roundtrip():
+    data = warc.make_warc_file([_row()], "f.warc.gz")
+    rows = warc.parse_warc_bytes(data)
+    assert len(rows) == 1  # warcinfo record is not a document
+    r = rows[0]
+    assert r["url"] == "https://h.example/a"
+    assert r["warc_ts"] == datetime(2020, 3, 1, 12, 0, 5)
+    assert r["html"] == b"<html>x</html>"
+    assert r["lang"] == "en"
+    assert r["text"] is None
+
+
+def test_content_length_framing_not_marker_scan():
+    """A payload CONTAINING 'WARC/1.0\\r\\n' must not derail record
+    framing — records are delimited by octet-exact Content-Length,
+    never by marker scanning."""
+    evil = b"<p>WARC/1.0\r\nWARC-Type: response\r\n\r\n</p>"
+    data = warc.make_warc_file(
+        [_row(html=evil), _row(url="https://h.example/b")], "f")
+    rows = warc.parse_warc_bytes(data)
+    assert [r["url"] for r in rows] == ["https://h.example/a",
+                                       "https://h.example/b"]
+    assert rows[0]["html"] == evil
+
+
+def test_malformed_record_skipped_framing_intact():
+    """A record missing WARC-Target-URI is dropped; later records
+    still parse (per-record failure isolation)."""
+    good = warc._record("response", [
+        ("WARC-Record-ID", "<urn:x:1>"),
+        ("WARC-Date", "2020-01-01T00:00:00Z"),
+        ("WARC-Target-URI", "https://h.example/ok"),
+        ("Content-Type", "application/http; msgtype=response"),
+    ], warc._http_block(b"<html>ok</html>"))
+    bad = warc._record("response", [
+        ("WARC-Record-ID", "<urn:x:0>"),
+        ("WARC-Date", "2020-01-01T00:00:00Z"),
+        # no target URI
+        ("Content-Type", "application/http; msgtype=response"),
+    ], warc._http_block(b"<html>bad</html>"))
+    rows = warc.parse_warc_bytes(bad + good)
+    assert [r["url"] for r in rows] == ["https://h.example/ok"]
+
+
+def test_gzip_and_plain_bytes_parse_identically():
+    plain_records = warc.make_warc_file([_row()], "f")
+    plain = gzip.decompress(plain_records)
+    assert warc.parse_warc_bytes(plain) == warc.parse_warc_bytes(
+        plain_records)
+
+
+def test_empty_payload_reads_back_as_null_html():
+    data = warc.make_warc_file([_row(html=None)], "f")
+    assert warc.parse_warc_bytes(data)[0]["html"] is None
+
+
+# ---------------------------------------------------------------------------
+# distributed roundtrip vs generator ground truth
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs120(spark):
+    return corpus.documents_df(spark, 120, partitions=4).localCheckpoint()
+
+
+def _canon(df):
+    return sorted(
+        (r["url"],
+         r["warc_ts"],
+         bytes(r["html"]) if r["html"] is not None else None,
+         r["text"], r["lang"])
+        for r in df.collect())
+
+
+def test_distributed_roundtrip_equals_generator(docs120, spark, tmp_path):
+    out = str(tmp_path / "warcs")
+    n = warc.write_warc(docs120, out)
+    assert n == 4  # one .warc.gz per partition
+    back = warc.read_warc(spark, out)
+    assert _canon(back) == _canon(docs120)
+
+
+def test_warc_feeds_extract_stage_identically(docs120, spark, tmp_path):
+    """The KG/curation head over WARC-read docs must equal the head
+    over the parquet corpus — ingestion is a transparent swap."""
+    from pyspark.sql import functions as F
+
+    from multivac_spark.functions.html_text import extract_text_stage
+
+    out = str(tmp_path / "warcs2")
+    warc.write_warc(docs120, out)
+    a = (extract_text_stage(warc.read_warc(spark, out))
+         .select("url", "text"))
+    b = extract_text_stage(docs120).select("url", "text")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
