@@ -186,25 +186,54 @@ def simhash_dup_pairs(df: DataFrame, text_col: str = "text",
     sigs = (df.select(F.col(id_col),
                       simhash_bits(F.col(text_col), n_bits)
                       .alias("_sig"))
-            .localCheckpoint())  # staged signature table: both sides
-    #                              of the self-join read it instead of
+            .localCheckpoint())  # staged signature table: every
+    #                              branch below reads it instead of
     #                              recomputing the n_bits·|tokens| folds
-    banded = sigs.select(
-        id_col, "_sig",
+    # Band + verify over DISTINCT signatures, then expand to document
+    # pairs by signature-group join. Output-identical to banding the
+    # document table directly, but the quadratic candidate work runs
+    # on |distinct sigs| ≤ |docs| — on mass-duplicated corpora (the
+    # case web-scale dedup exists for: mirrors, boilerplate farms)
+    # thousands of docs share a signature and banding doc rows would
+    # re-verify every cross pair once per shared band; here each
+    # signature PAIR is verified exactly once and true pairs fan out
+    # through a plain equi-join (that fan-out IS the output size).
+    # Signatures ride as LONGs from here on: band keys are shift/mask
+    # extractions and the Hamming verify is ONE xor+bit_count — the
+    # bit-string representation (needed only for the cross-engine
+    # oracle arithmetic) never enters the join. The candidate stream
+    # is filtered by the O(1) verify BEFORE any dedup, so the
+    # cross-band duplicate removal runs on survivors (≈ output size),
+    # not on the raw candidate volume.
+    sl = sigs.withColumn("_sl", F.conv("_sig", 2, 10).cast("long"))
+    usig = sl.select("_sl").distinct().localCheckpoint()
+    banded = usig.select(
+        "_sl",
         F.posexplode(F.array(*[
-            F.substring("_sig", b * width + 1, width)
+            F.shiftrightunsigned(
+                F.col("_sl"), n_bits - (b + 1) * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
             for b in range(bands)])).alias("_band", "_bkey"))
-    a = banded.select(F.col(id_col).alias("a"),
-                      F.col("_sig").alias("_sa"), "_band", "_bkey")
-    b = banded.select(F.col(id_col).alias("b"),
-                      F.col("_sig").alias("_sb"), "_band", "_bkey")
-    return (a.join(b, ["_band", "_bkey"])
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b",
-                    hamming_bits(F.col("_sa"), F.col("_sb"), n_bits)
-                    .alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming)
-            .distinct())
+    verified = (banded.select(F.col("_sl").alias("_sa"),
+                              "_band", "_bkey")
+                .join(banded.select(F.col("_sl").alias("_sb"),
+                                    "_band", "_bkey"),
+                      ["_band", "_bkey"])
+                .filter(F.col("_sa") < F.col("_sb"))
+                .select("_sa", "_sb",
+                        F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+                        .cast("long").alias("hamming"))
+                .filter(F.col("hamming") <= max_hamming)
+                .distinct())
+    ga = sl.select(F.col(id_col).alias("a"), F.col("_sl").alias("_sa"))
+    gb = sl.select(F.col(id_col).alias("b"), F.col("_sl").alias("_sb"))
+    cross = (verified.join(ga, "_sa").join(gb, "_sb")
+             .select(F.least("a", "b").alias("a"),
+                     F.greatest("a", "b").alias("b"), "hamming"))
+    within = (ga.join(gb.withColumnRenamed("_sb", "_sa"), "_sa")
+              .filter(F.col("a") < F.col("b"))
+              .select("a", "b", F.lit(0).cast("long").alias("hamming")))
+    return cross.unionByName(within)
 
 
 def ngram_jaccard(a: Column, b: Column, n: int = 3,
