@@ -119,3 +119,55 @@ def test_warc_feeds_extract_stage_identically(docs120, spark, tmp_path):
          .select("url", "text"))
     b = extract_text_stage(docs120).select("url", "text")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# incremental WARC drain (streaming/ingest.py)
+# ---------------------------------------------------------------------------
+
+def test_warc_incremental_drain_crash_resume(spark, tmp_path, monkeypatch):
+    """3 drains over arriving archives, a crash injected between the
+    batch write and the state commit, and a no-new-files drain: the
+    committed view must always equal the union of fully-drained
+    archives, the crashed batch must be invisible until its retry
+    commits, and the retry must not duplicate rows."""
+    from multivac_spark.streaming import ingest
+
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    out, state = str(tmp_path / "docs"), str(tmp_path / "state")
+
+    def arrive(name, lo, n):
+        rows = [corpus.gen_document(i) for i in range(lo, lo + n)]
+        (wdir / name).write_bytes(warc.make_warc_file(rows, name))
+
+    arrive("crawl-000.warc.gz", 0, 30)
+    n1 = ingest.warc_ingest_available_now(spark, str(wdir), out, state)
+    assert n1 == 30
+    arrive("crawl-001.warc.gz", 30, 20)
+
+    # crash AFTER the batch-1 parquet write, BEFORE the state commit
+    real = ingest._write_warc_state
+    monkeypatch.setattr(ingest, "_write_warc_state",
+                        lambda *a: (_ for _ in ()).throw(
+                            RuntimeError("injected")))
+    with pytest.raises(RuntimeError):
+        ingest.warc_ingest_available_now(spark, str(wdir), out, state)
+    # committed view still shows only batch 0
+    got = ingest.read_ingested_documents(spark, out, state)
+    assert got.count() == 30
+    monkeypatch.setattr(ingest, "_write_warc_state", real)
+
+    # retry of the same batch commits, no duplicates
+    assert ingest.warc_ingest_available_now(spark, str(wdir), out,
+                                            state) == 20
+    arrive("crawl-002.warc.gz", 50, 10)
+    assert ingest.warc_ingest_available_now(spark, str(wdir), out,
+                                            state) == 10
+    # idempotent empty drain
+    assert ingest.warc_ingest_available_now(spark, str(wdir), out,
+                                            state) == 0
+
+    got = ingest.read_ingested_documents(spark, out, state)
+    want = corpus.documents_df(spark, 60, partitions=2)
+    assert _canon(got) == _canon(want)
