@@ -196,3 +196,22 @@ def refresh_canonical_graph(spark: SparkSession, triples_dir: str,
     triples = spark.read.schema(TRIPLES_DDL).parquet(triples_dir)
     return canon.canonicalize_triples(
         triples.select("subj", "pred", "obj"), clusters, uniq_rels)
+
+
+def refresh_and_snapshot(spark: SparkSession, triples_dir: str,
+                         counts_dir: str, embeddings: DataFrame,
+                         snapshot_base: str,
+                         batch_id: int | None = None, **kw) -> int:
+    """Canonical refresh committed as the next version of the
+    materialized triples table (``plans/snapshots``): each refresh
+    becomes an immutable, time-travel-readable snapshot, and
+    ``snapshots.diff`` answers "which triples did this refresh add or
+    retract?" without touching the corpus — the Iceberg
+    snapshot-commit shape the north rule assumes for the KG tables.
+    Returns the committed version number."""
+    from ..plans import snapshots
+
+    final = refresh_canonical_graph(spark, triples_dir, counts_dir,
+                                    embeddings, **kw)
+    return snapshots.commit(spark, snapshot_base, final,
+                            batch_id=batch_id)
