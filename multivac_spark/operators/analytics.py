@@ -188,3 +188,148 @@ def top_triples_by_gain(edges: DataFrame, gains: DataFrame,
             .orderBy(F.desc("score"), F.asc("head_id"), F.asc("tail_id"))
             .limit(k)
             .select("head_id", "tail_id", "rel_id", "score"))
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85,
+             max_iter: int = 50, tol: float = 1e-8,
+             src: str = "head_id", dst: str = "tail_id",
+             checkpoint_every: int = 5,
+             driver_fastpath_edges: int = 1_000_000) -> DataFrame:
+    """Directed PageRank over the KG edge table → (node, score).
+
+    Beyond the reference's centrality pair (degree/eigenvector,
+    get_kg_query_params.py:16-25, calculate_network_change.py:22-31):
+    the standard entity-importance ranking for a directed KG.
+    Semantics follow networkx ``pagerank`` on a DiGraph: parallel
+    edges collapse, self-loops retained, uniform 1/outdeg transition
+    weights, dangling-node mass redistributed uniformly, L1
+    convergence ``Σ|Δ| < n·tol``; scores sum to 1.
+
+    **Driver fast path** (bounded graphs — the canonical KG's node set
+    is dictionary-bounded): one collect of the distinct edge list,
+    numpy iteration. **Distributed path** (``driver_fastpath_edges=0``
+    to force): ONE action per iteration — the L1 delta and the NEXT
+    iteration's dangling mass come from a single fused aggregate; the
+    only shuffle per round is the keyed groupBy(dst) of contributions;
+    ``stats_barrier`` every ``checkpoint_every`` rounds cuts the
+    self-join lineage exactly like eigenvector_centrality above.
+    """
+    from ..session import stats_barrier
+
+    e = stats_barrier(edges.select(F.col(src).alias("u"),
+                                   F.col(dst).alias("v")).distinct())
+    nodes = (e.select(F.col("u").alias("node"))
+             .union(e.select(F.col("v").alias("node"))).distinct())
+    outdeg = e.groupBy(F.col("u").alias("node")) \
+        .agg(F.count("*").alias("outdeg"))
+    # (node, outdeg|null) — null marks a dangling node
+    base = stats_barrier(nodes.join(outdeg, "node", "left"))
+    n = base.count()
+    if n == 0:
+        return base.select("node", F.lit(0.0).alias("score"))
+
+    if driver_fastpath_edges and e.count() <= driver_fastpath_edges:
+        return _pagerank_driver(edges.sparkSession, e, n,
+                                damping, max_iter, tol)
+
+    x = base.withColumn("score", F.lit(1.0 / n))
+    dangling = (x.filter(F.col("outdeg").isNull())
+                .agg(F.sum("score")).collect()[0][0]) or 0.0
+    for it in range(max_iter):
+        w = (x.filter(F.col("outdeg").isNotNull())
+             .select(F.col("node").alias("u"),
+                     (F.col("score") / F.col("outdeg")).alias("w")))
+        msgs = (e.join(w, "u").groupBy(F.col("v").alias("node"))
+                .agg(F.sum("w").alias("msg")))
+        nxt = (x.join(msgs, "node", "left")
+               .withColumn("new_score",
+                           F.lit((1.0 - damping) / n)
+                           + damping * (F.coalesce("msg", F.lit(0.0))
+                                        + F.lit(dangling / n))))
+        row = (nxt.agg(
+            F.sum(F.abs(F.col("new_score") - F.col("score"))).alias("l1"),
+            F.sum(F.when(F.col("outdeg").isNull(),
+                         F.col("new_score"))).alias("dang"))
+            .collect()[0])
+        x = nxt.select("node", "outdeg", F.col("new_score").alias("score"))
+        if (it + 1) % checkpoint_every == 0:
+            x = stats_barrier(x)
+        dangling = row["dang"] or 0.0
+        if row["l1"] < n * tol:
+            break
+    return x.select("node", "score")
+
+
+def _pagerank_driver(spark, e: DataFrame, n: int, damping: float,
+                     max_iter: int, tol: float) -> DataFrame:
+    """numpy twin of the distributed loop: identical update order,
+    dangling redistribution, and L1 stop rule."""
+    import numpy as np
+    import pandas as pd
+
+    rows = e.collect()
+    node_ids = sorted({r["u"] for r in rows} | {r["v"] for r in rows})
+    idx = {v: i for i, v in enumerate(node_ids)}
+    u = np.fromiter((idx[r["u"]] for r in rows), dtype=np.int64,
+                    count=len(rows))
+    v = np.fromiter((idx[r["v"]] for r in rows), dtype=np.int64,
+                    count=len(rows))
+    outdeg = np.bincount(u, minlength=n).astype(np.float64)
+    dangling_mask = outdeg == 0.0
+
+    x = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        w = np.where(dangling_mask, 0.0, x / np.where(outdeg == 0.0,
+                                                      1.0, outdeg))
+        msgs = np.bincount(v, weights=w[u], minlength=n)
+        dangling = float(x[dangling_mask].sum())
+        nxt = (1.0 - damping) / n + damping * (msgs + dangling / n)
+        l1 = float(np.abs(nxt - x).sum())
+        x = nxt
+        if l1 < n * tol:
+            break
+    return spark.createDataFrame(pd.DataFrame({"node": node_ids,
+                                               "score": x}))
+
+
+def k_hop(edges: DataFrame, seeds: DataFrame, k: int,
+          direction: str = "both", src: str = "head_id",
+          dst: str = "tail_id") -> DataFrame:
+    """K-hop neighborhood extraction → (node, hops) with hops = the
+    MINIMUM distance from any seed (0 for the seeds themselves,
+    whether or not they appear in the edge table).
+
+    The subgraph-extraction primitive for KG question answering
+    (restrict a query to the k-neighborhood of its seed entities)
+    that the reference delegates to in-memory networkx traversals.
+    Frontier BFS: each round expands only the newest frontier through
+    one keyed equi-join + distinct, anti-joins away already-visited
+    nodes, and cuts lineage with ``stats_barrier`` — k rounds total,
+    never an all-pairs expansion. ``direction``: ``out`` follows
+    src→dst, ``in`` follows dst→src, ``both`` treats edges as
+    undirected.
+    """
+    from ..session import stats_barrier
+
+    if direction not in ("out", "in", "both"):
+        raise ValueError(f"direction must be out|in|both, got {direction}")
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    adj = {"out": fwd, "in": rev, "both": fwd.union(rev)}[direction]
+    adj = stats_barrier(adj.filter(F.col("u") != F.col("v")).distinct())
+
+    seed_col = seeds.columns[0]
+    visited = seeds.select(F.col(seed_col).alias("node")).distinct() \
+        .withColumn("hops", F.lit(0))
+    frontier = visited.select("node")
+    for depth in range(1, k + 1):
+        nxt = (adj.join(frontier.withColumnRenamed("node", "u"), "u")
+               .select(F.col("v").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti"))
+        frontier = stats_barrier(nxt)
+        if frontier.isEmpty():
+            break
+        visited = stats_barrier(
+            visited.unionByName(
+                frontier.withColumn("hops", F.lit(depth))))
+    return visited
