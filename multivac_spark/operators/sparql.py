@@ -1,0 +1,413 @@
+"""SPARQL basic-graph-pattern queries compiled to DataFrame joins.
+
+The interchange half of KG usability is ``sources/ntriples.py``; this
+is the query half: a conjunctive subset of W3C SPARQL 1.1 (§5 Basic
+Graph Patterns, §6 OPTIONAL, §15 ORDER/LIMIT, §17.4.3 string
+functions) executed in-engine over the canonical ``(subj, pred, obj)``
+triples table, so KG consumers can ask graph questions without
+round-tripping through an external triple store. The reference has no
+query language at all — its graph is consumed by hand-written pandas
+code (rdf_graph.py) — so the grammar subset here is scoped to what
+those hand-written consumers actually do: pattern joins, optional
+attachment, string filters, order/limit.
+
+Supported grammar (case-insensitive keywords)::
+
+    SELECT [DISTINCT] (?v ... | *)
+    WHERE { pattern [.] pattern ... }
+    [ORDER BY (?v | DESC(?v)) ...] [LIMIT n]
+
+    pattern  := term term term           -- triple pattern
+              | OPTIONAL { pattern ... } -- left join
+              | FILTER ( cond )
+    term     := ?var | <iri> | "literal"
+    cond     := ?v = term | ?v != term | REGEX(?v, "re")
+              | CONTAINS(?v, "s") | STRSTARTS(?v, "s")
+
+Compilation is Spark-first and fully declarative:
+
+* every triple pattern becomes a scan of the triples table with
+  equality filters for its constant terms — Catalyst pushes those to
+  the parquet scan (PushedFilters), so a constant-predicate pattern
+  reads only its slice of a 100 TB edge table;
+* patterns join on their shared variables as plain equi-joins,
+  ordered most-constants-first (selectivity heuristic) and then left
+  to AQE to re-plan at runtime; a pattern sharing no variable with
+  the accumulated join is the cartesian SPARQL semantics require and
+  compiles to ``crossJoin`` (caller beware, as in any engine);
+* OPTIONAL blocks compile to left joins after all required patterns;
+* FILTER / DISTINCT / ORDER / LIMIT are ordinary Column expressions
+  on the joined frame.
+
+IRIs in queries are decoded to mention strings with the same RFC 3986
+path as the N-Triples reader, so ``<base/spatial%20cell>`` matches the
+mention ``"spatial cell"`` — a query written against an exported .nt
+file runs unchanged in-engine.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..sources.ntriples import DEFAULT_BASE
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<iri><[^>]*>)
+      | (?P<lit>"(?:[^"\\]|\\.)*")
+      | (?P<num>\d+)
+      | (?P<word>[A-Za-z][A-Za-z]*)
+      | (?P<punct>[{}().,]|!=|=|\*)
+    )""", re.VERBOSE)
+
+_STR_FUNCS = {"REGEX", "CONTAINS", "STRSTARTS"}
+
+
+class SparqlError(ValueError):
+    pass
+
+
+@dataclass
+class _Pattern:
+    terms: tuple  # three ("var", name) | ("const", value) pairs
+    optional: bool = False
+
+    @property
+    def vars(self):
+        return {n for k, n in self.terms if k == "var"}
+
+    @property
+    def n_const(self):
+        return sum(1 for k, _ in self.terms if k == "const")
+
+
+@dataclass
+class _Query:
+    select: list  # variable names, or ["*"]
+    distinct: bool
+    patterns: list
+    filters: list  # (kind, var, value) tuples
+    order: list    # (var, ascending) pairs
+    limit: int | None
+
+
+@dataclass
+class _Tokens:
+    toks: list
+    pos: int = 0
+
+    def peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        if t is None:
+            raise SparqlError("unexpected end of query")
+        self.pos += 1
+        return t
+
+    def expect(self, *want):
+        t = self.next()
+        if t[0] == "word" and t[1].upper() in want:
+            return t[1].upper()
+        if t[0] == "punct" and t[1] in want:
+            return t[1]
+        raise SparqlError(f"expected {'/'.join(want)}, got {t[1]!r}")
+
+
+def _tokenize(text: str):
+    toks, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m or m.end() == pos:
+            if text[pos:].strip() == "":
+                break
+            raise SparqlError(f"cannot tokenize at: {text[pos:pos + 20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        toks.append((kind, m.group(kind)))
+    return _Tokens(toks)
+
+
+def _term(tok, base: str):
+    """token → ("var", name) | ("const", matched-string)."""
+    kind, text = tok
+    if kind == "var":
+        return ("var", text[1:])
+    if kind == "iri":
+        iri = text[1:-1]
+        if iri.startswith(base):
+            iri = iri[len(base):]
+        return ("const", unquote(iri))
+    if kind == "lit":
+        body = text[1:-1]
+        return ("const", re.sub(r"\\(.)", lambda m: {
+            "n": "\n", "r": "\r", "t": "\t"}.get(m.group(1), m.group(1)),
+            body))
+    raise SparqlError(f"expected term, got {text!r}")
+
+
+def _parse_group(ts: _Tokens, base: str, q: _Query, optional: bool):
+    ts.expect("{")
+    while True:
+        t = ts.peek()
+        if t is None:
+            raise SparqlError("unterminated group")
+        if t == ("punct", "}"):
+            ts.next()
+            return
+        if t == ("punct", "."):
+            ts.next()
+            continue
+        if t[0] == "word" and t[1].upper() == "OPTIONAL":
+            if optional:
+                raise SparqlError("nested OPTIONAL is not supported")
+            ts.next()
+            _parse_group(ts, base, q, optional=True)
+            continue
+        if t[0] == "word" and t[1].upper() == "FILTER":
+            ts.next()
+            _parse_filter(ts, base, q)
+            continue
+        terms = tuple(_term(ts.next(), base) for _ in range(3))
+        q.patterns.append(_Pattern(terms, optional=optional))
+
+
+def _parse_filter(ts: _Tokens, base: str, q: _Query):
+    ts.expect("(")
+    t = ts.next()
+    if t[0] == "word" and t[1].upper() in _STR_FUNCS:
+        func = t[1].upper()
+        ts.expect("(")
+        var = ts.next()
+        if var[0] != "var":
+            raise SparqlError(f"{func} needs a variable first argument")
+        ts.expect(",")
+        arg = ts.next()
+        if arg[0] != "lit":
+            raise SparqlError(f"{func} needs a string literal argument")
+        ts.expect(")")
+        q.filters.append((func, var[1][1:], _term(arg, base)[1]))
+    elif t[0] == "var":
+        op = ts.next()
+        if op not in (("punct", "="), ("punct", "!=")):
+            raise SparqlError(f"expected = or !=, got {op[1]!r}")
+        q.filters.append((op[1], t[1][1:], _term(ts.next(), base)[1]))
+    else:
+        raise SparqlError(f"unsupported FILTER starting at {t[1]!r}")
+    ts.expect(")")
+
+
+def parse(query: str, base: str = DEFAULT_BASE) -> _Query:
+    ts = _tokenize(query)
+    ts.expect("SELECT")
+    distinct = False
+    if ts.peek() and ts.peek()[0] == "word" \
+            and ts.peek()[1].upper() == "DISTINCT":
+        ts.next()
+        distinct = True
+    select = []
+    while ts.peek() and ts.peek()[0] == "var":
+        select.append(ts.next()[1][1:])
+    if not select:
+        ts.expect("*")
+        select = ["*"]
+    ts.expect("WHERE")
+    q = _Query(select, distinct, [], [], [], None)
+    _parse_group(ts, base, q, optional=False)
+    while ts.peek() is not None:
+        kw = ts.expect("ORDER", "LIMIT")
+        if kw == "ORDER":
+            ts.expect("BY")
+            while True:
+                t = ts.peek()
+                if t is None or not (
+                        t[0] == "var"
+                        or (t[0] == "word" and t[1].upper() in ("ASC",
+                                                               "DESC"))):
+                    break
+                asc = True
+                if t[0] == "word":
+                    asc = ts.next()[1].upper() == "ASC"
+                    ts.expect("(")
+                    var = ts.next()
+                    ts.expect(")")
+                else:
+                    var = ts.next()
+                if var[0] != "var":
+                    raise SparqlError("ORDER BY needs variables")
+                q.order.append((var[1][1:], asc))
+            if not q.order:
+                raise SparqlError("empty ORDER BY")
+        else:
+            t = ts.next()
+            if t[0] != "num":
+                raise SparqlError("LIMIT needs an integer")
+            q.limit = int(t[1])
+    _validate(q)
+    return q
+
+
+def _validate(q: _Query):
+    if not q.patterns:
+        raise SparqlError("empty WHERE clause")
+    bound = set().union(*(p.vars for p in q.patterns))
+    required = set().union(*(p.vars for p in q.patterns
+                             if not p.optional)) if any(
+        not p.optional for p in q.patterns) else set()
+    if not required:
+        raise SparqlError("WHERE needs at least one non-OPTIONAL pattern")
+    if q.select != ["*"]:
+        missing = [v for v in q.select if v not in bound]
+        if missing:
+            raise SparqlError(f"SELECT of unbound variable(s): {missing}")
+    for _, var, _ in q.filters:
+        if var not in bound:
+            raise SparqlError(f"FILTER on unbound variable ?{var}")
+    for var, _ in q.order:
+        if var not in bound:
+            raise SparqlError(f"ORDER BY unbound variable ?{var}")
+
+
+# ---------------------------------------------------------------------------
+# compilation
+# ---------------------------------------------------------------------------
+
+_POSITIONS = ("subj", "pred", "obj")
+
+
+def _scan(triples: DataFrame, p: _Pattern, idx: int) -> tuple:
+    """One pattern → (frame with variable-named columns, var set).
+
+    Constant terms become pushed-down equality filters; repeated
+    variables inside one pattern become intra-row equality."""
+    df = triples
+    seen = {}
+    cols = []
+    for pos, (kind, name) in zip(_POSITIONS, p.terms):
+        if kind == "const":
+            df = df.filter(F.col(pos) == name)
+        elif name in seen:
+            df = df.filter(F.col(pos) == F.col(seen[name]))
+        else:
+            seen[name] = pos
+            cols.append(F.col(pos).alias(name))
+    if not cols:  # fully-ground pattern: existence check only
+        cols = [F.lit(1).alias(f"_ground_{idx}")]
+    return df.select(*cols), set(seen)
+
+
+def compile_bgp(triples: DataFrame, q: _Query) -> DataFrame:
+    required = [p for p in q.patterns if not p.optional]
+    optional = [p for p in q.patterns if p.optional]
+    # most-constants-first: ground/selective patterns shrink the join
+    # early; AQE re-plans the rest at runtime.
+    required.sort(key=lambda p: -p.n_const)
+
+    acc, bound = _scan(triples, required[0], 0)
+    for i, p in enumerate(required[1:] + optional, start=1):
+        frame, pvars = _scan(triples, p, i)
+        on = sorted(bound & pvars)
+        how = "left" if p.optional else "inner"
+        if on:
+            acc = acc.join(frame, on=on, how=how)
+        elif p.optional:
+            raise SparqlError(
+                "OPTIONAL pattern shares no variable with the required "
+                "patterns")
+        else:
+            acc = acc.crossJoin(frame)
+        bound |= pvars
+
+    for kind, var, value in q.filters:
+        c = F.col(var)
+        cond = {"=": lambda: c == value,
+                "!=": lambda: c != value,
+                "REGEX": lambda: c.rlike(value),
+                "CONTAINS": lambda: c.contains(value),
+                "STRSTARTS": lambda: c.startswith(value)}[kind]()
+        acc = acc.filter(cond)
+
+    out_cols = sorted(bound) if q.select == ["*"] else q.select
+    acc = acc.select(*out_cols)
+    if q.distinct:
+        acc = acc.distinct()
+    if q.order:
+        acc = acc.orderBy(*[F.col(v).asc() if asc else F.col(v).desc()
+                            for v, asc in q.order])
+    if q.limit is not None:
+        acc = acc.limit(q.limit)
+    return acc
+
+
+def sparql(triples: DataFrame, query: str,
+           base: str = DEFAULT_BASE) -> DataFrame:
+    """Run a SPARQL BGP query string over a (subj, pred, obj) frame."""
+    return compile_bgp(triples, parse(query, base))
+
+
+def to_sql(q: _Query, table: str = "triples") -> str:
+    """The same query as ANSI SQL over ``table(subj, pred, obj)`` —
+    the independent DuckDB twin used by the tests (and usable as an
+    ``oracle_sql`` body). Compiled structurally from the parsed form,
+    NOT via Spark, so the two executions share only the parser.
+
+    Required patterns come first (textual order) and OPTIONAL blocks
+    after — the same evaluation order ``compile_bgp`` uses — so a
+    variable bound by both sides aliases to the required (non-NULL)
+    column, matching Spark's left-join column resolution."""
+    ordered = ([p for p in q.patterns if not p.optional]
+               + [p for p in q.patterns if p.optional])
+    joins = []
+    conds = []
+    filt_parts = []
+    seen_vars = {}
+    for i, p in enumerate(ordered):
+        t = f"t{i}"
+        local_conds = []
+        for pos, (kind, name) in zip(_POSITIONS, p.terms):
+            if kind == "const":
+                local_conds.append(f"{t}.{pos} = {_sql_str(name)}")
+            elif name in seen_vars:
+                local_conds.append(f"{t}.{pos} = {seen_vars[name]}")
+            else:
+                seen_vars[name] = f"{t}.{pos}"
+        if i == 0:
+            joins.append(f"{table} {t}")
+            conds += local_conds
+        elif p.optional:
+            on = " AND ".join(local_conds) or "TRUE"
+            joins.append(f"LEFT JOIN {table} {t} ON {on}")
+        else:
+            joins.append(f"CROSS JOIN {table} {t}")
+            conds += local_conds
+    aliases = seen_vars
+    out = sorted(aliases) if q.select == ["*"] else q.select
+    sel = ", ".join(f"{aliases[v]} AS {v}" for v in out)
+    for kind, var, value in q.filters:
+        v = aliases[var]
+        s = _sql_str(value)
+        filt_parts.append({
+            "=": f"{v} = {s}",
+            "!=": f"{v} <> {s}",
+            "REGEX": f"regexp_matches({v}, {s})",
+            "CONTAINS": f"contains({v}, {s})",
+            "STRSTARTS": f"starts_with({v}, {s})"}[kind])
+    where = " AND ".join(conds + filt_parts) or "TRUE"
+    sql = (f"SELECT {'DISTINCT ' if q.distinct else ''}{sel} "
+           f"FROM {' '.join(joins)} WHERE {where}")
+    if q.order:
+        sql += " ORDER BY " + ", ".join(
+            f"{v} {'ASC' if asc else 'DESC'}" for v, asc in q.order)
+    if q.limit is not None:
+        sql += f" LIMIT {q.limit}"
+    return sql
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"

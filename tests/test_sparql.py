@@ -1,0 +1,189 @@
+"""SPARQL BGP compiler: hand-computed fixtures + DuckDB twin sweep.
+
+Two independent oracles: (1) tiny graphs with results worked out by
+hand; (2) ``sparql.to_sql`` — a structural SQL compilation sharing
+only the parser with the Spark path — replayed in DuckDB over the
+same triples (including triples from the real extraction pipeline).
+"""
+
+import duckdb
+import pytest
+
+from multivac_spark.operators import sparql as S
+
+TRIPLES = [
+    ("ebola", "infect", "cell"),
+    ("ebola", "infect", "host"),
+    ("virus x", "infect", "cell"),
+    ("virus x", "mutate", "genome"),
+    ("cell", "contain", "genome"),
+    ("host", "contain", "cell"),
+    ("genome", "encode", "protein"),
+    ("self", "contain", "self"),
+]
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    df = spark.createDataFrame(
+        TRIPLES, "subj string, pred string, obj string").cache()
+    df.count()
+    return df
+
+
+def srt(rows):
+    # None-safe row ordering (OPTIONAL emits NULLs)
+    return sorted(rows, key=lambda r: tuple(
+        (x is None, x or "") for x in r))
+
+
+def run(df, q):
+    out = S.sparql(df, q)
+    return srt(map(tuple, out.collect()))
+
+
+# ---------------------------------------------------------------------------
+# hand-computed results
+# ---------------------------------------------------------------------------
+
+def test_single_pattern_const_pred(triples):
+    got = run(triples, 'SELECT ?s ?o WHERE { ?s "infect" ?o }')
+    assert got == [("ebola", "cell"), ("ebola", "host"),
+                   ("virus x", "cell")]
+
+
+def test_join_on_shared_variable(triples):
+    # who infects something that contains a genome?
+    got = run(triples, """
+        SELECT ?s ?x WHERE { ?s "infect" ?x . ?x "contain" "genome" }""")
+    assert got == [("ebola", "cell"), ("virus x", "cell")]
+
+
+def test_three_hop_chain(triples):
+    got = run(triples, """
+        SELECT ?a ?c WHERE {
+          ?a "infect" ?b . ?b "contain" ?c . ?c "encode" "protein" }""")
+    assert got == [("ebola", "genome"), ("virus x", "genome")]
+
+
+def test_iri_terms_match_mentions(triples):
+    base = S.DEFAULT_BASE
+    got = run(triples, f"""
+        SELECT ?o WHERE {{ <{base}virus%20x> <{base}infect> ?o }}""")
+    assert got == [("cell",)]
+
+
+def test_repeated_variable_in_one_pattern(triples):
+    got = run(triples, 'SELECT ?x WHERE { ?x "contain" ?x }')
+    assert got == [("self",)]
+
+
+def test_optional_left_join(triples):
+    got = run(triples, """
+        SELECT ?s ?g WHERE {
+          ?s "infect" ?x . OPTIONAL { ?s "mutate" ?g } }""")
+    assert got == [("ebola", None), ("ebola", None),
+                   ("virus x", "genome")]
+
+
+def test_filters(triples):
+    q = ('SELECT ?s ?o WHERE { ?s "infect" ?o . '
+         'FILTER(REGEX(?s, "^v")) FILTER(?o != "host") }')
+    assert run(triples, q) == [("virus x", "cell")]
+    q2 = ('SELECT DISTINCT ?s WHERE { ?s ?p ?o . '
+          'FILTER(CONTAINS(?s, " ")) }')
+    assert run(triples, q2) == [("virus x",)]
+    q3 = ('SELECT DISTINCT ?p WHERE { ?s ?p ?o . '
+          'FILTER(STRSTARTS(?p, "con")) }')
+    assert run(triples, q3) == [("contain",)]
+
+
+def test_distinct_order_limit(triples):
+    got = run(triples, """
+        SELECT DISTINCT ?p WHERE { ?s ?p ?o }
+        ORDER BY DESC(?p) LIMIT 2""")
+    assert got == [("infect",), ("mutate",)]
+
+
+def test_ground_pattern_is_existence_check(triples):
+    hit = run(triples, """
+        SELECT ?o WHERE { "ebola" "infect" "cell" . "cell" "contain" ?o }""")
+    assert hit == [("genome",)]
+    miss = run(triples, """
+        SELECT ?o WHERE { "ebola" "infect" "nope" . "cell" "contain" ?o }""")
+    assert miss == []
+
+
+def test_cartesian_when_no_shared_vars(triples):
+    got = run(triples, """
+        SELECT ?a ?b WHERE { ?a "mutate" ?o1 . ?b "encode" ?o2 }""")
+    assert got == [("virus x", "genome")]
+
+
+def test_parse_errors(triples):
+    for bad in [
+        "SELECT ?x WHERE { }",
+        "SELECT ?x WHERE { ?a ?p ?b } LIMIT ?x",
+        'SELECT ?zz WHERE { ?a ?p ?b }',
+        'SELECT ?a WHERE { ?a ?p ?b . FILTER(?missing = "x") }',
+        'SELECT ?a WHERE { OPTIONAL { ?a ?p ?b } }',
+        'SELECT ?a WHERE { ?a ?p ?b } ORDER BY ?nope',
+    ]:
+        with pytest.raises(S.SparqlError):
+            S.sparql(triples, bad)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twin sweep
+# ---------------------------------------------------------------------------
+
+TWIN_QUERIES = [
+    'SELECT ?s ?o WHERE { ?s "infect" ?o }',
+    'SELECT * WHERE { ?s "infect" ?x . ?x "contain" ?g }',
+    ('SELECT ?s ?g WHERE { ?s "infect" ?x . '
+     'OPTIONAL { ?x "contain" ?g } }'),
+    ('SELECT DISTINCT ?s WHERE { ?s ?p ?o . '
+     'FILTER(REGEX(?o, "o")) FILTER(?p != "encode") }'),
+    'SELECT ?x WHERE { ?x "contain" ?x }',
+    'SELECT ?a ?b WHERE { ?a "mutate" ?o1 . ?b "encode" ?o2 }',
+]
+
+
+def _twin(rows, query):
+    q = S.parse(query)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE triples(subj VARCHAR, pred VARCHAR, "
+                "obj VARCHAR)")
+    con.executemany("INSERT INTO triples VALUES (?, ?, ?)", rows)
+    return srt(map(tuple, con.execute(S.to_sql(q)).fetchall()))
+
+
+@pytest.mark.parametrize("query", TWIN_QUERIES)
+def test_duckdb_twin_fixture(triples, query):
+    assert run(triples, query) == _twin(TRIPLES, query)
+
+
+def test_duckdb_twin_on_pipeline_triples(spark):
+    """The sweep again over triples from the real extraction pipeline
+    (mentions carry spaces/pipes/unicode — the realistic term space)."""
+    from multivac_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from multivac_spark.sources import corpus
+
+    tables = run_pipeline(spark, corpus.documents_df(spark, 60),
+                          corpus.embeddings_df(spark),
+                          PipelineConfig(top_n_ent=5000, top_n_rel=50))
+    df = tables["final_triples"].select("subj", "pred", "obj").cache()
+    rows = sorted(map(tuple, df.collect()))
+    assert len(rows) > 100
+    queries = [
+        'SELECT ?s ?o WHERE { ?s "infect" ?o }',
+        ('SELECT ?a ?c WHERE { ?a "infect" ?b . ?b ?p ?c . '
+         'FILTER(?p != "infect") }'),
+        ('SELECT DISTINCT ?s WHERE { ?s ?p ?o . '
+         'FILTER(CONTAINS(?s, "virus")) }'),
+        ('SELECT ?s ?o2 WHERE { ?s "infect" ?o . '
+         'OPTIONAL { ?o "mutate" ?o2 } }'),
+    ]
+    for q in queries:
+        got = srt(map(tuple, S.sparql(df, q).collect()))
+        assert got == _twin(rows, q), q
