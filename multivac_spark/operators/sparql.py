@@ -17,6 +17,10 @@ Supported grammar (case-insensitive keywords)::
     WHERE { pattern [.] pattern ... }
     [ORDER BY (?v | DESC(?v)) ...] [LIMIT n]
 
+    CONSTRUCT { term term term [.] ... }   -- derive new triples
+    WHERE { pattern [.] pattern ... }      -- (rule/enrichment form;
+                                           --  output is a triple SET)
+
     pattern  := term term term           -- triple pattern
               | OPTIONAL { pattern ... } -- left join
               | FILTER ( cond )
@@ -88,12 +92,13 @@ class _Pattern:
 
 @dataclass
 class _Query:
-    select: list  # variable names, or ["*"]
+    select: list  # variable names, or ["*"] (empty for CONSTRUCT)
     distinct: bool
     patterns: list
     filters: list  # (kind, var, value) tuples
     order: list    # (var, ascending) pairs
     limit: int | None
+    construct: list | None = None  # template _Patterns, or None
 
 
 @dataclass
@@ -203,23 +208,51 @@ def _parse_filter(ts: _Tokens, base: str, q: _Query):
     ts.expect(")")
 
 
+def _parse_template(ts: _Tokens, base: str) -> list:
+    """CONSTRUCT template: triple patterns only (no OPTIONAL/FILTER)."""
+    ts.expect("{")
+    out = []
+    while True:
+        t = ts.peek()
+        if t is None:
+            raise SparqlError("unterminated CONSTRUCT template")
+        if t == ("punct", "}"):
+            ts.next()
+            if not out:
+                raise SparqlError("empty CONSTRUCT template")
+            return out
+        if t == ("punct", "."):
+            ts.next()
+            continue
+        out.append(_Pattern(tuple(_term(ts.next(), base)
+                                  for _ in range(3))))
+
+
 def parse(query: str, base: str = DEFAULT_BASE) -> _Query:
     ts = _tokenize(query)
-    ts.expect("SELECT")
+    form = ts.expect("SELECT", "CONSTRUCT")
     distinct = False
-    if ts.peek() and ts.peek()[0] == "word" \
-            and ts.peek()[1].upper() == "DISTINCT":
-        ts.next()
-        distinct = True
+    construct = None
     select = []
-    while ts.peek() and ts.peek()[0] == "var":
-        select.append(ts.next()[1][1:])
-    if not select:
-        ts.expect("*")
-        select = ["*"]
+    if form == "CONSTRUCT":
+        construct = _parse_template(ts, base)
+    else:
+        if ts.peek() and ts.peek()[0] == "word" \
+                and ts.peek()[1].upper() == "DISTINCT":
+            ts.next()
+            distinct = True
+        while ts.peek() and ts.peek()[0] == "var":
+            select.append(ts.next()[1][1:])
+        if not select:
+            ts.expect("*")
+            select = ["*"]
     ts.expect("WHERE")
-    q = _Query(select, distinct, [], [], [], None)
+    q = _Query(select, distinct, [], [], [], None, construct)
     _parse_group(ts, base, q, optional=False)
+    if construct is not None and ts.peek() is not None:
+        # the triple SET a CONSTRUCT emits is unordered, so ORDER/LIMIT
+        # would be nondeterministic — rejected rather than surprising
+        raise SparqlError("CONSTRUCT does not take solution modifiers")
     while ts.peek() is not None:
         kw = ts.expect("ORDER", "LIMIT")
         if kw == "ORDER":
@@ -262,7 +295,13 @@ def _validate(q: _Query):
         not p.optional for p in q.patterns) else set()
     if not required:
         raise SparqlError("WHERE needs at least one non-OPTIONAL pattern")
-    if q.select != ["*"]:
+    if q.construct is not None:
+        missing = sorted(set().union(*(p.vars for p in q.construct))
+                         - bound)
+        if missing:
+            raise SparqlError(
+                f"CONSTRUCT template uses unbound variable(s): {missing}")
+    elif q.select != ["*"]:
         missing = [v for v in q.select if v not in bound]
         if missing:
             raise SparqlError(f"SELECT of unbound variable(s): {missing}")
@@ -302,7 +341,9 @@ def _scan(triples: DataFrame, p: _Pattern, idx: int) -> tuple:
     return df.select(*cols), set(seen)
 
 
-def compile_bgp(triples: DataFrame, q: _Query) -> DataFrame:
+def _solve(triples: DataFrame, q: _Query) -> tuple:
+    """Join + filter phase shared by SELECT and CONSTRUCT: returns the
+    solution frame (one column per bound variable) and the var set."""
     required = [p for p in q.patterns if not p.optional]
     optional = [p for p in q.patterns if p.optional]
     # most-constants-first: ground/selective patterns shrink the join
@@ -332,7 +373,33 @@ def compile_bgp(triples: DataFrame, q: _Query) -> DataFrame:
                 "CONTAINS": lambda: c.contains(value),
                 "STRSTARTS": lambda: c.startswith(value)}[kind]()
         acc = acc.filter(cond)
+    return acc, bound
 
+
+def _construct(solutions: DataFrame, templates: list) -> DataFrame:
+    """Template instantiation: each pattern projects a (subj, pred,
+    obj) triple per solution row; rows where an OPTIONAL-bound
+    template variable is NULL emit nothing for that pattern (SPARQL
+    §16.2: incomplete triples are dropped); the union is a set."""
+    parts = []
+    for p in templates:
+        cols = [(F.col(name) if kind == "var" else F.lit(name)).alias(pos)
+                for pos, (kind, name) in zip(_POSITIONS, p.terms)]
+        part = solutions.select(*cols)
+        for pos, (kind, _) in zip(_POSITIONS, p.terms):
+            if kind == "var":
+                part = part.filter(F.col(pos).isNotNull())
+        parts.append(part)
+    acc = parts[0]
+    for part in parts[1:]:
+        acc = acc.unionAll(part)
+    return acc.distinct()
+
+
+def compile_bgp(triples: DataFrame, q: _Query) -> DataFrame:
+    acc, bound = _solve(triples, q)
+    if q.construct is not None:
+        return _construct(acc, q.construct)
     out_cols = sorted(bound) if q.select == ["*"] else q.select
     acc = acc.select(*out_cols)
     if q.distinct:
@@ -387,8 +454,6 @@ def to_sql(q: _Query, table: str = "triples") -> str:
             joins.append(f"CROSS JOIN {table} {t}")
             conds += local_conds
     aliases = seen_vars
-    out = sorted(aliases) if q.select == ["*"] else q.select
-    sel = ", ".join(f"{aliases[v]} AS {v}" for v in out)
     for kind, var, value in q.filters:
         v = aliases[var]
         s = _sql_str(value)
@@ -399,8 +464,29 @@ def to_sql(q: _Query, table: str = "triples") -> str:
             "CONTAINS": f"contains({v}, {s})",
             "STRSTARTS": f"starts_with({v}, {s})"}[kind])
     where = " AND ".join(conds + filt_parts) or "TRUE"
-    sql = (f"SELECT {'DISTINCT ' if q.distinct else ''}{sel} "
-           f"FROM {' '.join(joins)} WHERE {where}")
+    frm = f"FROM {' '.join(joins)} WHERE {where}"
+
+    if q.construct is not None:
+        # one SELECT per template pattern; UNION (not UNION ALL)
+        # dedups across templates exactly like the Spark
+        # union+distinct, and IS NOT NULL mirrors the §16.2
+        # incomplete-triple drop
+        parts = []
+        for p in q.construct:
+            cols, notnull = [], []
+            for pos, (kind, name) in zip(_POSITIONS, p.terms):
+                if kind == "var":
+                    cols.append(f"{aliases[name]} AS {pos}")
+                    notnull.append(f"{aliases[name]} IS NOT NULL")
+                else:
+                    cols.append(f"{_sql_str(name)} AS {pos}")
+            parts.append(f"SELECT DISTINCT {', '.join(cols)} {frm}"
+                         + ("".join(f" AND {c}" for c in notnull)))
+        return " UNION ".join(parts)
+
+    out = sorted(aliases) if q.select == ["*"] else q.select
+    sel = ", ".join(f"{aliases[v]} AS {v}" for v in out)
+    sql = f"SELECT {'DISTINCT ' if q.distinct else ''}{sel} {frm}"
     if q.order:
         sql += " ORDER BY " + ", ".join(
             f"{v} {'ASC' if asc else 'DESC'}" for v, asc in q.order)

@@ -134,6 +134,57 @@ def test_parse_errors(triples):
 
 
 # ---------------------------------------------------------------------------
+# CONSTRUCT (rule/enrichment form)
+# ---------------------------------------------------------------------------
+
+def test_construct_inverse_relation(triples):
+    got = run(triples, """
+        CONSTRUCT { ?o "infected_by" ?s } WHERE { ?s "infect" ?o }""")
+    assert got == [("cell", "infected_by", "ebola"),
+                   ("cell", "infected_by", "virus x"),
+                   ("host", "infected_by", "ebola")]
+
+
+def test_construct_composed_relation_and_multi_template(triples):
+    # transitive contain-after-infect, emitted alongside a type tag
+    got = run(triples, """
+        CONSTRUCT { ?s "reaches" ?g . ?s "is_a" "pathogen" }
+        WHERE { ?s "infect" ?x . ?x "contain" ?g }""")
+    assert got == [("ebola", "is_a", "pathogen"),
+                   ("ebola", "reaches", "cell"),
+                   ("ebola", "reaches", "genome"),
+                   ("virus x", "is_a", "pathogen"),
+                   ("virus x", "reaches", "genome")]
+
+
+def test_construct_drops_incomplete_triples(triples):
+    # ?g unbound (NULL) for non-mutating subjects → no triple emitted
+    got = run(triples, """
+        CONSTRUCT { ?s "mutates_into" ?g }
+        WHERE { ?s "infect" ?x . OPTIONAL { ?s "mutate" ?g } }""")
+    assert got == [("virus x", "mutates_into", "genome")]
+
+
+def test_construct_output_is_queryable(triples):
+    derived = S.sparql(triples, """
+        CONSTRUCT { ?o "infected_by" ?s } WHERE { ?s "infect" ?o }""")
+    got = srt(map(tuple, S.sparql(
+        derived, 'SELECT ?v WHERE { "cell" "infected_by" ?v }').collect()))
+    assert got == [("ebola",), ("virus x",)]
+
+
+def test_construct_rejects_modifiers_and_unbound(triples):
+    with pytest.raises(S.SparqlError):
+        S.sparql(triples, 'CONSTRUCT { ?s "r" ?o } '
+                          'WHERE { ?s "infect" ?o } LIMIT 2')
+    with pytest.raises(S.SparqlError):
+        S.sparql(triples, 'CONSTRUCT { ?s "r" ?zz } '
+                          'WHERE { ?s "infect" ?o }')
+    with pytest.raises(S.SparqlError):
+        S.sparql(triples, 'CONSTRUCT { } WHERE { ?s "infect" ?o }')
+
+
+# ---------------------------------------------------------------------------
 # DuckDB twin sweep
 # ---------------------------------------------------------------------------
 
@@ -146,6 +197,10 @@ TWIN_QUERIES = [
      'FILTER(REGEX(?o, "o")) FILTER(?p != "encode") }'),
     'SELECT ?x WHERE { ?x "contain" ?x }',
     'SELECT ?a ?b WHERE { ?a "mutate" ?o1 . ?b "encode" ?o2 }',
+    ('CONSTRUCT { ?o "infected_by" ?s . ?s "is_a" "pathogen" } '
+     'WHERE { ?s "infect" ?o }'),
+    ('CONSTRUCT { ?s "mutates_into" ?g } WHERE { ?s "infect" ?x . '
+     'OPTIONAL { ?s "mutate" ?g } }'),
 ]
 
 
