@@ -22,6 +22,8 @@ Supported grammar (case-insensitive keywords)::
                                            --  output is a triple SET)
 
     pattern  := term term term           -- triple pattern
+              | term term+ term          -- property path: one-or-more
+                                         --   (constant predicate only)
               | OPTIONAL { pattern ... } -- left join
               | FILTER ( cond )
     term     := ?var | <iri> | "literal"
@@ -66,7 +68,7 @@ _TOKEN_RE = re.compile(
       | (?P<lit>"(?:[^"\\]|\\.)*")
       | (?P<num>\d+)
       | (?P<word>[A-Za-z][A-Za-z]*)
-      | (?P<punct>[{}().,]|!=|=|\*)
+      | (?P<punct>[{}().,+]|!=|=|\*)
     )""", re.VERBOSE)
 
 _STR_FUNCS = {"REGEX", "CONTAINS", "STRSTARTS"}
@@ -80,6 +82,7 @@ class SparqlError(ValueError):
 class _Pattern:
     terms: tuple  # three ("var", name) | ("const", value) pairs
     optional: bool = False
+    path: bool = False  # predicate is <p>+ — one-or-more transitive
 
     @property
     def vars(self):
@@ -179,8 +182,18 @@ def _parse_group(ts: _Tokens, base: str, q: _Query, optional: bool):
             ts.next()
             _parse_filter(ts, base, q)
             continue
-        terms = tuple(_term(ts.next(), base) for _ in range(3))
-        q.patterns.append(_Pattern(terms, optional=optional))
+        subj = _term(ts.next(), base)
+        pred = _term(ts.next(), base)
+        path = False
+        if ts.peek() == ("punct", "+"):
+            ts.next()
+            path = True
+            if pred[0] != "const":
+                raise SparqlError(
+                    "property path needs a constant predicate (<p>+)")
+        obj = _term(ts.next(), base)
+        q.patterns.append(_Pattern((subj, pred, obj), optional=optional,
+                                   path=path))
 
 
 def _parse_filter(ts: _Tokens, base: str, q: _Query):
@@ -320,15 +333,13 @@ def _validate(q: _Query):
 _POSITIONS = ("subj", "pred", "obj")
 
 
-def _scan(triples: DataFrame, p: _Pattern, idx: int) -> tuple:
-    """One pattern → (frame with variable-named columns, var set).
-
-    Constant terms become pushed-down equality filters; repeated
-    variables inside one pattern become intra-row equality."""
-    df = triples
+def _bind(df: DataFrame, pos_terms: list, idx: int) -> tuple:
+    """Bind a pattern's terms against a frame's positional columns:
+    constants filter, variables project under their name, repeated
+    variables become intra-row equality."""
     seen = {}
     cols = []
-    for pos, (kind, name) in zip(_POSITIONS, p.terms):
+    for pos, (kind, name) in pos_terms:
         if kind == "const":
             df = df.filter(F.col(pos) == name)
         elif name in seen:
@@ -341,14 +352,96 @@ def _scan(triples: DataFrame, p: _Pattern, idx: int) -> tuple:
     return df.select(*cols), set(seen)
 
 
+def _scan(triples: DataFrame, p: _Pattern, idx: int) -> tuple:
+    """One pattern → (frame with variable-named columns, var set).
+
+    Constant terms become pushed-down equality filters; a ``<p>+``
+    path pattern evaluates to its reachability pairs first (seeded
+    BFS when an endpoint is ground, pointer-doubling closure when
+    both are variables)."""
+    if p.path:
+        return _bind(_path_pairs(triples, p),
+                     list(zip(("_ps", "_po"), (p.terms[0], p.terms[2]))),
+                     idx)
+    return _bind(triples, list(zip(_POSITIONS, p.terms)), idx)
+
+
+def _path_pairs(triples: DataFrame, p: _Pattern) -> DataFrame:
+    """All (``_ps``, ``_po``) pairs connected by ≥1 ``pred`` edges.
+
+    Scale shape: the edge slice is a pushed-down pred filter. A
+    ground endpoint turns the closure into a seeded frontier BFS —
+    work proportional to the REACHABLE set (the `analytics.k_hop`
+    shape), never the graph. Only the both-variable form pays the
+    full transitive closure, and that runs as pointer doubling —
+    path length doubles per round, so fixpoint in O(log diameter)
+    joins with `stats_barrier` lineage/stats cuts per round (the
+    Catalyst BigInt-stats trap documented in session.stats_barrier)."""
+    pred = p.terms[1][1]
+    edges = (triples.filter(F.col("pred") == pred)
+             .select(F.col("subj").alias("_ps"),
+                     F.col("obj").alias("_po"))
+             .distinct())
+    s_kind, s_val = p.terms[0]
+    o_kind, o_val = p.terms[2]
+    if s_kind == "const":
+        reach = _bfs(edges, s_val, forward=True)
+        return reach.select(F.lit(s_val).alias("_ps"),
+                            F.col("_n").alias("_po"))
+    if o_kind == "const":
+        reach = _bfs(edges, o_val, forward=False)
+        return reach.select(F.col("_n").alias("_ps"),
+                            F.lit(o_val).alias("_po"))
+    return _closure(edges)
+
+
+def _bfs(edges: DataFrame, seed: str, forward: bool) -> DataFrame:
+    """Nodes reachable from ``seed`` by ≥1 hops (column ``_n``)."""
+    from ..session import stats_barrier
+
+    src, dst = ("_ps", "_po") if forward else ("_po", "_ps")
+    frontier = stats_barrier(
+        edges.filter(F.col(src) == seed)
+        .select(F.col(dst).alias("_n")).distinct())
+    acc = frontier
+    while not frontier.isEmpty():
+        step = stats_barrier(
+            edges.join(frontier.withColumnRenamed("_n", src), src)
+            .select(F.col(dst).alias("_n")).distinct()
+            .join(acc, "_n", "left_anti"))
+        acc = stats_barrier(acc.unionByName(step).distinct())
+        frontier = step
+    return acc
+
+
+def _closure(edges: DataFrame) -> DataFrame:
+    """Full transitive closure by pointer doubling (P ∪ P∘P per
+    round; reachable path length doubles each iteration)."""
+    from ..session import stats_barrier
+
+    paths = stats_barrier(edges)
+    n = paths.count()
+    while True:
+        right = paths.select(F.col("_ps").alias("_m"),
+                             F.col("_po").alias("_pe"))
+        ext = (paths.join(right, paths["_po"] == right["_m"])
+               .select("_ps", F.col("_pe").alias("_po")))
+        paths = stats_barrier(paths.unionByName(ext).distinct())
+        m = paths.count()
+        if m == n:
+            return paths
+        n = m
+
+
 def _solve(triples: DataFrame, q: _Query) -> tuple:
     """Join + filter phase shared by SELECT and CONSTRUCT: returns the
     solution frame (one column per bound variable) and the var set."""
     required = [p for p in q.patterns if not p.optional]
     optional = [p for p in q.patterns if p.optional]
     # most-constants-first: ground/selective patterns shrink the join
-    # early; AQE re-plans the rest at runtime.
-    required.sort(key=lambda p: -p.n_const)
+    # early; AQE re-plans the rest at runtime. Path patterns go last —
+    # their pair sets are closure-sized, not scan-sized.
+    required.sort(key=lambda p: (p.path, -p.n_const))
 
     acc, bound = _scan(triples, required[0], 0)
     for i, p in enumerate(required[1:] + optional, start=1):
@@ -434,10 +527,26 @@ def to_sql(q: _Query, table: str = "triples") -> str:
     conds = []
     filt_parts = []
     seen_vars = {}
+    ctes = []
     for i, p in enumerate(ordered):
         t = f"t{i}"
+        if p.path:
+            # <pred>+ → a recursive CTE computing the same ≥1-hop
+            # reachability pair set the Spark side builds
+            cte = f"path{i}"
+            ps = _sql_str(p.terms[1][1])
+            ctes.append(
+                f"{cte}(s, o) AS ("
+                f"SELECT subj, obj FROM {table} WHERE pred = {ps} "
+                f"UNION SELECT r.s, e.obj FROM {cte} r "
+                f"JOIN {table} e ON e.subj = r.o AND e.pred = {ps})")
+            tbl = cte
+            pos_terms = list(zip(("s", "o"), (p.terms[0], p.terms[2])))
+        else:
+            tbl = table
+            pos_terms = list(zip(_POSITIONS, p.terms))
         local_conds = []
-        for pos, (kind, name) in zip(_POSITIONS, p.terms):
+        for pos, (kind, name) in pos_terms:
             if kind == "const":
                 local_conds.append(f"{t}.{pos} = {_sql_str(name)}")
             elif name in seen_vars:
@@ -445,13 +554,13 @@ def to_sql(q: _Query, table: str = "triples") -> str:
             else:
                 seen_vars[name] = f"{t}.{pos}"
         if i == 0:
-            joins.append(f"{table} {t}")
+            joins.append(f"{tbl} {t}")
             conds += local_conds
         elif p.optional:
             on = " AND ".join(local_conds) or "TRUE"
-            joins.append(f"LEFT JOIN {table} {t} ON {on}")
+            joins.append(f"LEFT JOIN {tbl} {t} ON {on}")
         else:
-            joins.append(f"CROSS JOIN {table} {t}")
+            joins.append(f"CROSS JOIN {tbl} {t}")
             conds += local_conds
     aliases = seen_vars
     for kind, var, value in q.filters:
@@ -465,6 +574,7 @@ def to_sql(q: _Query, table: str = "triples") -> str:
             "STRSTARTS": f"starts_with({v}, {s})"}[kind])
     where = " AND ".join(conds + filt_parts) or "TRUE"
     frm = f"FROM {' '.join(joins)} WHERE {where}"
+    with_clause = f"WITH RECURSIVE {', '.join(ctes)} " if ctes else ""
 
     if q.construct is not None:
         # one SELECT per template pattern; UNION (not UNION ALL)
@@ -482,11 +592,12 @@ def to_sql(q: _Query, table: str = "triples") -> str:
                     cols.append(f"{_sql_str(name)} AS {pos}")
             parts.append(f"SELECT DISTINCT {', '.join(cols)} {frm}"
                          + ("".join(f" AND {c}" for c in notnull)))
-        return " UNION ".join(parts)
+        return with_clause + " UNION ".join(parts)
 
     out = sorted(aliases) if q.select == ["*"] else q.select
     sel = ", ".join(f"{aliases[v]} AS {v}" for v in out)
-    sql = f"SELECT {'DISTINCT ' if q.distinct else ''}{sel} {frm}"
+    sql = (f"{with_clause}SELECT {'DISTINCT ' if q.distinct else ''}"
+           f"{sel} {frm}")
     if q.order:
         sql += " ORDER BY " + ", ".join(
             f"{v} {'ASC' if asc else 'DESC'}" for v, asc in q.order)

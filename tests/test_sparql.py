@@ -134,6 +134,73 @@ def test_parse_errors(triples):
 
 
 # ---------------------------------------------------------------------------
+# property paths (<p>+)
+# ---------------------------------------------------------------------------
+# contain edges: cell→genome, host→cell, self→self
+# ⇒ contain+ = {(cell,genome), (host,cell), (host,genome), (self,self)}
+
+def test_path_both_variables_full_closure(triples):
+    got = run(triples, 'SELECT ?a ?b WHERE { ?a "contain"+ ?b }')
+    assert got == [("cell", "genome"), ("host", "cell"),
+                   ("host", "genome"), ("self", "self")]
+
+
+def test_path_seeded_forward_and_backward(triples):
+    fwd = run(triples, 'SELECT ?x WHERE { "host" "contain"+ ?x }')
+    assert fwd == [("cell",), ("genome",)]
+    bwd = run(triples, 'SELECT ?x WHERE { ?x "contain"+ "genome" }')
+    assert bwd == [("cell",), ("host",)]
+
+
+def test_path_ground_existence(triples):
+    hit = run(triples, """
+        SELECT ?s WHERE { "host" "contain"+ "genome" .
+                          "genome" "encode" ?s }""")
+    assert hit == [("protein",)]
+    miss = run(triples, """
+        SELECT ?s WHERE { "genome" "contain"+ "host" .
+                          "genome" "encode" ?s }""")
+    assert miss == []
+
+
+def test_path_joined_with_plain_pattern(triples):
+    got = run(triples, """
+        SELECT ?s ?g WHERE { ?s "infect" ?x . ?x "contain"+ ?g }""")
+    assert got == [("ebola", "cell"), ("ebola", "genome"),
+                   ("ebola", "genome"), ("virus x", "genome")]
+
+
+def test_path_on_deep_chain(spark):
+    """a→b→c→d→e→f: closure = 15 pairs (doubling needs 3 rounds);
+    seeded BFS walks 5 frontiers."""
+    chain = spark.createDataFrame(
+        [(x, "n", y) for x, y in zip("abcde", "bcdef")],
+        "subj string, pred string, obj string")
+    got = run(chain, 'SELECT ?a ?b WHERE { ?a "n"+ ?b }')
+    nodes = "abcdef"
+    want = sorted((nodes[i], nodes[j])
+                  for i in range(6) for j in range(i + 1, 6))
+    assert got == want
+    fwd = run(chain, 'SELECT ?x WHERE { "a" "n"+ ?x }')
+    assert fwd == [("b",), ("c",), ("d",), ("e",), ("f",)]
+
+
+def test_path_cycle_terminates(spark):
+    ring = spark.createDataFrame(
+        [("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a")],
+        "subj string, pred string, obj string")
+    got = run(ring, 'SELECT ?x WHERE { "a" "r"+ ?x }')
+    assert got == [("a",), ("b",), ("c",)]
+    both = run(ring, 'SELECT ?a ?b WHERE { ?a "r"+ ?b }')
+    assert len(both) == 9  # complete closure of a 3-cycle
+
+
+def test_path_requires_constant_predicate(triples):
+    with pytest.raises(S.SparqlError):
+        S.sparql(triples, 'SELECT ?a WHERE { ?a ?p+ ?b }')
+
+
+# ---------------------------------------------------------------------------
 # CONSTRUCT (rule/enrichment form)
 # ---------------------------------------------------------------------------
 
@@ -201,6 +268,9 @@ TWIN_QUERIES = [
      'WHERE { ?s "infect" ?o }'),
     ('CONSTRUCT { ?s "mutates_into" ?g } WHERE { ?s "infect" ?x . '
      'OPTIONAL { ?s "mutate" ?g } }'),
+    'SELECT ?a ?b WHERE { ?a "contain"+ ?b }',
+    'SELECT ?s ?g WHERE { ?s "infect" ?x . ?x "contain"+ ?g }',
+    'CONSTRUCT { ?a "reaches" ?b } WHERE { ?a "contain"+ ?b }',
 ]
 
 
