@@ -14,7 +14,10 @@ attachment, string filters, order/limit.
 Supported grammar (case-insensitive keywords)::
 
     SELECT [DISTINCT] (?v ... | *)
+    SELECT ?g ... (COUNT([DISTINCT] ?v | *) AS ?a) ...   -- aggregates:
+                                           -- COUNT / MIN / MAX (§18.5)
     WHERE { pattern [.] pattern ... }
+    [GROUP BY ?g ...]
     [ORDER BY (?v | DESC(?v)) ...] [LIMIT n]
 
     CONSTRUCT { term term term [.] ... }   -- derive new triples
@@ -43,7 +46,10 @@ Compilation is Spark-first and fully declarative:
   compiles to ``crossJoin`` (caller beware, as in any engine);
 * OPTIONAL blocks compile to left joins after all required patterns;
 * FILTER / DISTINCT / ORDER / LIMIT are ordinary Column expressions
-  on the joined frame.
+  on the joined frame;
+* aggregate projections compile to one ``groupBy(...).agg(...)`` over
+  the solution frame — a single partial-aggregated shuffle on the
+  GROUP BY keys (map-side combine for free), never a collect.
 
 IRIs in queries are decoded to mention strings with the same RFC 3986
 path as the N-Triples reader, so ``<base/spatial%20cell>`` matches the
@@ -102,6 +108,8 @@ class _Query:
     order: list    # (var, ascending) pairs
     limit: int | None
     construct: list | None = None  # template _Patterns, or None
+    aggs: list = None    # (func, arg-var-or-"*", distinct, alias)
+    group: list = None   # GROUP BY variable names
 
 
 @dataclass
@@ -241,12 +249,43 @@ def _parse_template(ts: _Tokens, base: str) -> list:
                                   for _ in range(3))))
 
 
+_AGG_FUNCS = ("COUNT", "MIN", "MAX")
+
+
+def _parse_agg(ts: _Tokens):
+    """``(COUNT([DISTINCT] ?v|*) AS ?alias)`` — outer '(' consumed."""
+    func = ts.expect(*_AGG_FUNCS)
+    ts.expect("(")
+    distinct = False
+    if ts.peek() and ts.peek()[0] == "word" \
+            and ts.peek()[1].upper() == "DISTINCT":
+        ts.next()
+        distinct = True
+    t = ts.next()
+    if t[0] == "var":
+        arg = t[1][1:]
+    elif t == ("punct", "*") and func == "COUNT" and not distinct:
+        arg = "*"
+    else:
+        raise SparqlError(f"{func} needs a variable argument"
+                          + (" (or * for plain COUNT)"
+                             if func == "COUNT" else ""))
+    ts.expect(")")
+    ts.expect("AS")
+    alias = ts.next()
+    if alias[0] != "var":
+        raise SparqlError("aggregate alias must be a variable")
+    ts.expect(")")
+    return (func, arg, distinct, alias[1][1:])
+
+
 def parse(query: str, base: str = DEFAULT_BASE) -> _Query:
     ts = _tokenize(query)
     form = ts.expect("SELECT", "CONSTRUCT")
     distinct = False
     construct = None
     select = []
+    aggs = []
     if form == "CONSTRUCT":
         construct = _parse_template(ts, base)
     else:
@@ -254,21 +293,39 @@ def parse(query: str, base: str = DEFAULT_BASE) -> _Query:
                 and ts.peek()[1].upper() == "DISTINCT":
             ts.next()
             distinct = True
-        while ts.peek() and ts.peek()[0] == "var":
-            select.append(ts.next()[1][1:])
+        while True:
+            t = ts.peek()
+            if t is not None and t[0] == "var":
+                select.append(ts.next()[1][1:])
+            elif t == ("punct", "("):
+                ts.next()
+                aggs.append(_parse_agg(ts))
+                select.append(aggs[-1][3])
+            else:
+                break
         if not select:
             ts.expect("*")
             select = ["*"]
+        if aggs and distinct:
+            raise SparqlError("SELECT DISTINCT with aggregates is not "
+                              "supported")
     ts.expect("WHERE")
-    q = _Query(select, distinct, [], [], [], None, construct)
+    q = _Query(select, distinct, [], [], [], None, construct,
+               aggs, [])
     _parse_group(ts, base, q, optional=False)
     if construct is not None and ts.peek() is not None:
         # the triple SET a CONSTRUCT emits is unordered, so ORDER/LIMIT
         # would be nondeterministic — rejected rather than surprising
         raise SparqlError("CONSTRUCT does not take solution modifiers")
     while ts.peek() is not None:
-        kw = ts.expect("ORDER", "LIMIT")
-        if kw == "ORDER":
+        kw = ts.expect("ORDER", "LIMIT", "GROUP")
+        if kw == "GROUP":
+            ts.expect("BY")
+            while ts.peek() and ts.peek()[0] == "var":
+                q.group.append(ts.next()[1][1:])
+            if not q.group:
+                raise SparqlError("empty GROUP BY")
+        elif kw == "ORDER":
             ts.expect("BY")
             while True:
                 t = ts.peek()
@@ -314,15 +371,38 @@ def _validate(q: _Query):
         if missing:
             raise SparqlError(
                 f"CONSTRUCT template uses unbound variable(s): {missing}")
+    elif q.aggs:
+        aliases = [a[3] for a in q.aggs]
+        if len(set(aliases)) != len(aliases):
+            raise SparqlError("duplicate aggregate alias")
+        for func, arg, _, alias in q.aggs:
+            if alias in bound:
+                raise SparqlError(
+                    f"aggregate alias ?{alias} collides with a pattern "
+                    "variable")
+            if arg != "*" and arg not in bound:
+                raise SparqlError(f"{func} of unbound variable ?{arg}")
+        for v in q.group:
+            if v not in bound:
+                raise SparqlError(f"GROUP BY unbound variable ?{v}")
+        bad = [v for v in q.select
+               if v not in aliases and v not in q.group]
+        if bad:
+            raise SparqlError(
+                f"non-aggregate SELECT variable(s) not in GROUP BY: {bad}")
     elif q.select != ["*"]:
         missing = [v for v in q.select if v not in bound]
         if missing:
             raise SparqlError(f"SELECT of unbound variable(s): {missing}")
+    if q.group and not q.aggs:
+        raise SparqlError("GROUP BY without aggregates is not supported "
+                          "(use SELECT DISTINCT)")
     for _, var, _ in q.filters:
         if var not in bound:
             raise SparqlError(f"FILTER on unbound variable ?{var}")
+    out_vars = (set(q.group) | {a[3] for a in q.aggs}) if q.aggs else bound
     for var, _ in q.order:
-        if var not in bound:
+        if var not in out_vars:
             raise SparqlError(f"ORDER BY unbound variable ?{var}")
 
 
@@ -489,12 +569,30 @@ def _construct(solutions: DataFrame, templates: list) -> DataFrame:
     return acc.distinct()
 
 
+def _agg_expr(func: str, arg: str, distinct: bool):
+    """One aggregate spec → an unaliased Column expression."""
+    if arg == "*":
+        return F.count(F.lit(1))
+    if func == "COUNT" and distinct:
+        return F.count_distinct(F.col(arg))
+    # MIN/MAX are DISTINCT-insensitive (SPARQL §18.5.1.5)
+    return {"COUNT": F.count, "MIN": F.min, "MAX": F.max}[func](
+        F.col(arg))
+
+
 def compile_bgp(triples: DataFrame, q: _Query) -> DataFrame:
     acc, bound = _solve(triples, q)
     if q.construct is not None:
         return _construct(acc, q.construct)
-    out_cols = sorted(bound) if q.select == ["*"] else q.select
-    acc = acc.select(*out_cols)
+    if q.aggs:
+        # one partial-aggregated shuffle on the group keys; an empty
+        # GROUP BY is the single-group global aggregate
+        acc = acc.groupBy(*q.group).agg(
+            *[_agg_expr(f, a, d).alias(alias)
+              for f, a, d, alias in q.aggs]).select(*q.select)
+    else:
+        out_cols = sorted(bound) if q.select == ["*"] else q.select
+        acc = acc.select(*out_cols)
     if q.distinct:
         acc = acc.distinct()
     if q.order:
@@ -593,6 +691,25 @@ def to_sql(q: _Query, table: str = "triples") -> str:
             parts.append(f"SELECT DISTINCT {', '.join(cols)} {frm}"
                          + ("".join(f" AND {c}" for c in notnull)))
         return with_clause + " UNION ".join(parts)
+
+    if q.aggs:
+        agg_sql = {}
+        for func, arg, distinct, alias in q.aggs:
+            inner = ("*" if arg == "*"
+                     else ("DISTINCT " if distinct and func == "COUNT"
+                           else "") + aliases[arg])
+            agg_sql[alias] = f"{func}({inner})"
+        sel = ", ".join(
+            f"{agg_sql.get(v, aliases.get(v))} AS {v}" for v in q.select)
+        sql = f"{with_clause}SELECT {sel} {frm}"
+        if q.group:
+            sql += " GROUP BY " + ", ".join(aliases[v] for v in q.group)
+        if q.order:
+            sql += " ORDER BY " + ", ".join(
+                f"{v} {'ASC' if asc else 'DESC'}" for v, asc in q.order)
+        if q.limit is not None:
+            sql += f" LIMIT {q.limit}"
+        return sql
 
     out = sorted(aliases) if q.select == ["*"] else q.select
     sel = ", ".join(f"{aliases[v]} AS {v}" for v in out)

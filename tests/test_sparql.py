@@ -252,6 +252,92 @@ def test_construct_rejects_modifiers_and_unbound(triples):
 
 
 # ---------------------------------------------------------------------------
+# aggregates (GROUP BY + COUNT/MIN/MAX)
+# ---------------------------------------------------------------------------
+
+def test_agg_count_per_group(triples):
+    got = run(triples, '''
+        SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s "infect" ?o }
+        GROUP BY ?s''')
+    assert got == [("ebola", 2), ("virus x", 1)]
+
+
+def test_agg_global_count_star(triples):
+    got = run(triples, 'SELECT (COUNT(*) AS ?total) WHERE { ?s ?p ?o }')
+    assert got == [(8,)]
+
+
+def test_agg_count_distinct_and_minmax(triples):
+    # per-predicate: distinct subjects, lexicographic min/max object
+    got = run(triples, '''
+        SELECT ?p (COUNT(DISTINCT ?s) AS ?heads) (MIN(?o) AS ?lo)
+               (MAX(?o) AS ?hi)
+        WHERE { ?s ?p ?o } GROUP BY ?p''')
+    assert got == [("contain", 3, "cell", "self"),
+                   ("encode", 1, "protein", "protein"),
+                   ("infect", 2, "cell", "host"),
+                   ("mutate", 1, "genome", "genome")]
+
+
+def test_agg_count_skips_optional_nulls(triples):
+    # COUNT(?g) counts bound solutions only — genome contains nothing
+    got = run(triples, '''
+        SELECT ?x (COUNT(?g) AS ?n) WHERE {
+            "cell" "contain" ?x . OPTIONAL { ?x "encode" ?g } }
+        GROUP BY ?x''')
+    assert got == [("genome", 1)]
+
+
+def test_agg_order_by_alias_and_limit(triples):
+    out = S.sparql(triples, '''
+        SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o }
+        GROUP BY ?p ORDER BY DESC(?n) ?p LIMIT 2''')
+    assert [tuple(r) for r in out.collect()] == [
+        ("contain", 3), ("infect", 3)]
+
+
+def test_agg_group_var_not_selected(triples):
+    # SPARQL allows grouping by a variable the SELECT omits
+    got = run(triples, '''
+        SELECT (COUNT(*) AS ?n) WHERE { ?s "infect" ?o } GROUP BY ?s''')
+    assert got == [(1,), (2,)]
+
+
+def test_agg_parse_and_validate_errors(triples):
+    bad = [
+        # ungrouped plain variable alongside an aggregate
+        'SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s "infect" ?o }',
+        # DISTINCT + aggregates unsupported
+        'SELECT DISTINCT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }',
+        # unsupported aggregate function
+        'SELECT (AVG(?o) AS ?n) WHERE { ?s ?p ?o }',
+        # COUNT(DISTINCT *) is not a thing
+        'SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?s ?p ?o }',
+        # MIN needs a variable, not *
+        'SELECT (MIN(*) AS ?n) WHERE { ?s ?p ?o }',
+        # aggregate of an unbound variable
+        'SELECT (COUNT(?zz) AS ?n) WHERE { ?s ?p ?o }',
+        # alias collides with a pattern variable
+        'SELECT (COUNT(?o) AS ?s) WHERE { ?s ?p ?o }',
+        # duplicate alias
+        ('SELECT (COUNT(?o) AS ?n) (COUNT(?s) AS ?n) '
+         'WHERE { ?s ?p ?o }'),
+        # GROUP BY of an unbound variable
+        'SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?zz',
+        # empty GROUP BY
+        'SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY',
+        # GROUP BY without aggregates
+        'SELECT ?s WHERE { ?s ?p ?o } GROUP BY ?s',
+        # ORDER BY a non-output variable of an aggregate query
+        ('SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s '
+         'ORDER BY ?o'),
+    ]
+    for q in bad:
+        with pytest.raises(S.SparqlError):
+            S.sparql(triples, q)
+
+
+# ---------------------------------------------------------------------------
 # DuckDB twin sweep
 # ---------------------------------------------------------------------------
 
@@ -271,6 +357,14 @@ TWIN_QUERIES = [
     'SELECT ?a ?b WHERE { ?a "contain"+ ?b }',
     'SELECT ?s ?g WHERE { ?s "infect" ?x . ?x "contain"+ ?g }',
     'CONSTRUCT { ?a "reaches" ?b } WHERE { ?a "contain"+ ?b }',
+    'SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s "infect" ?o } GROUP BY ?s',
+    'SELECT (COUNT(*) AS ?total) WHERE { ?s ?p ?o }',
+    ('SELECT ?p (COUNT(DISTINCT ?s) AS ?heads) (MIN(?o) AS ?lo) '
+     '(MAX(?o) AS ?hi) WHERE { ?s ?p ?o } GROUP BY ?p'),
+    ('SELECT ?x (COUNT(?g) AS ?n) WHERE { ?s "contain" ?x . '
+     'OPTIONAL { ?x "encode" ?g } } GROUP BY ?x'),
+    ('SELECT ?b (COUNT(DISTINCT ?a) AS ?n) WHERE { ?a "contain"+ ?b } '
+     'GROUP BY ?b'),
 ]
 
 
@@ -308,6 +402,8 @@ def test_duckdb_twin_on_pipeline_triples(spark):
          'FILTER(CONTAINS(?s, "virus")) }'),
         ('SELECT ?s ?o2 WHERE { ?s "infect" ?o . '
          'OPTIONAL { ?o "mutate" ?o2 } }'),
+        ('SELECT ?p (COUNT(*) AS ?n) (COUNT(DISTINCT ?s) AS ?heads) '
+         'WHERE { ?s ?p ?o } GROUP BY ?p'),
     ]
     for q in queries:
         got = srt(map(tuple, S.sparql(df, q).collect()))
