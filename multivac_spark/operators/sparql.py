@@ -24,11 +24,16 @@ Supported grammar (case-insensitive keywords)::
     WHERE { pattern [.] pattern ... }      -- (rule/enrichment form;
                                            --  output is a triple SET)
 
-    pattern  := term term term           -- triple pattern
-              | term term+ term          -- property path: one-or-more
-                                         --   (constant predicate only)
+    pattern  := term pred term           -- triple pattern
+              | { pattern ... } UNION { pattern ... } [UNION ...]
               | OPTIONAL { pattern ... } -- left join
               | FILTER ( cond )
+              | VALUES ?v { const ... }  -- inline data (filter form)
+              | VALUES (?v ...) { (const ...) ... }
+    pred     := [^]term                  -- ^ = inverse (§9.1)
+              | [^]term (| term)...     -- alternation (constants only)
+              | [^]term+                 -- one-or-more property path
+                                         --   (constant predicate only)
     term     := ?var | <iri> | "literal"
     cond     := ?v = term | ?v != term | REGEX(?v, "re")
               | CONTAINS(?v, "s") | STRSTARTS(?v, "s")
@@ -74,7 +79,7 @@ _TOKEN_RE = re.compile(
       | (?P<lit>"(?:[^"\\]|\\.)*")
       | (?P<num>\d+)
       | (?P<word>[A-Za-z][A-Za-z]*)
-      | (?P<punct>[{}().,+]|!=|=|\*)
+      | (?P<punct>[{}().,+|^]|!=|=|\*)
     )""", re.VERBOSE)
 
 _STR_FUNCS = {"REGEX", "CONTAINS", "STRSTARTS"}
@@ -86,7 +91,9 @@ class SparqlError(ValueError):
 
 @dataclass
 class _Pattern:
-    terms: tuple  # three ("var", name) | ("const", value) pairs
+    # three ("var", name) | ("const", value) | ("alt", value-tuple)
+    # pairs; "alt" (predicate alternation) appears only at index 1
+    terms: tuple
     optional: bool = False
     path: bool = False  # predicate is <p>+ — one-or-more transitive
 
@@ -100,6 +107,26 @@ class _Pattern:
 
 
 @dataclass
+class _Union:
+    """``{ ... } UNION { ... }`` — branches of plain triple patterns
+    binding the SAME variable set (checked at parse), so the branch
+    solutions union by name with no unbound-variable compatibility
+    cases and the join with the rest of the query is a plain
+    equi-join."""
+    branches: list  # list[list[_Pattern]]
+    optional: bool = False
+    path: bool = False
+
+    @property
+    def vars(self):
+        return set().union(*(p.vars for b in self.branches for p in b))
+
+    @property
+    def n_const(self):
+        return 0
+
+
+@dataclass
 class _Query:
     select: list  # variable names, or ["*"] (empty for CONSTRUCT)
     distinct: bool
@@ -110,6 +137,7 @@ class _Query:
     construct: list | None = None  # template _Patterns, or None
     aggs: list = None    # (func, arg-var-or-"*", distinct, alias)
     group: list = None   # GROUP BY variable names
+    values: list = None  # (var-name tuple, rows) inline-data blocks
 
 
 @dataclass
@@ -168,6 +196,131 @@ def _term(tok, base: str):
     raise SparqlError(f"expected term, got {text!r}")
 
 
+def _parse_pattern(ts: _Tokens, base: str, optional: bool) -> _Pattern:
+    """One triple pattern (subj [^]pred[|pred...][+] obj)."""
+    subj = _term(ts.next(), base)
+    inverse = ts.peek() == ("punct", "^")
+    if inverse:
+        ts.next()
+    pred = _term(ts.next(), base)
+    alts = []
+    while ts.peek() == ("punct", "|"):
+        ts.next()
+        alt = _term(ts.next(), base)
+        if pred[0] != "const" or alt[0] != "const":
+            raise SparqlError(
+                "predicate alternation needs constant predicates")
+        alts.append(alt[1])
+    path = False
+    if ts.peek() == ("punct", "+"):
+        ts.next()
+        path = True
+        if alts:
+            raise SparqlError(
+                "property path over an alternation is not supported")
+        if pred[0] != "const":
+            raise SparqlError(
+                "property path needs a constant predicate (<p>+)")
+    if alts:
+        pred = ("alt", (pred[1], *alts))
+    obj = _term(ts.next(), base)
+    if inverse:
+        # s ^p o  ≡  o p s — and ^(p+) ≡ (^p)+, so the swap also
+        # covers inverse property paths
+        subj, obj = obj, subj
+    return _Pattern((subj, pred, obj), optional=optional, path=path)
+
+
+def _parse_union(ts: _Tokens, base: str) -> _Union:
+    """``{ patterns } UNION { patterns } [UNION ...]`` — first ``{``
+    NOT yet consumed. Branch groups hold plain triple patterns only."""
+    branches = []
+    while True:
+        ts.expect("{")
+        branch = []
+        while True:
+            t = ts.peek()
+            if t is None:
+                raise SparqlError("unterminated UNION branch")
+            if t == ("punct", "}"):
+                ts.next()
+                break
+            if t == ("punct", "."):
+                ts.next()
+                continue
+            if t[0] == "word" and t[1].upper() in ("OPTIONAL", "FILTER",
+                                                   "VALUES", "UNION"):
+                raise SparqlError(
+                    f"{t[1].upper()} inside a UNION branch is not "
+                    "supported")
+            p = _parse_pattern(ts, base, optional=False)
+            if p.path:
+                raise SparqlError(
+                    "property path inside a UNION branch is not "
+                    "supported")
+            branch.append(p)
+        if not branch:
+            raise SparqlError("empty UNION branch")
+        branches.append(branch)
+        if ts.peek() and ts.peek()[0] == "word" \
+                and ts.peek()[1].upper() == "UNION":
+            ts.next()
+            continue
+        break
+    if len(branches) < 2:
+        raise SparqlError("a braced group must be part of a UNION")
+    varsets = [set().union(*(p.vars for p in b)) for b in branches]
+    if any(vs != varsets[0] for vs in varsets[1:]):
+        raise SparqlError(
+            "UNION branches must bind the same variables "
+            f"(got {sorted(map(sorted, varsets))})")
+    if not varsets[0]:
+        raise SparqlError("UNION branches bind no variables")
+    return _Union(branches)
+
+
+def _parse_values(ts: _Tokens, base: str, q: _Query):
+    """``VALUES ?v { c ... }`` | ``VALUES (?v ...) { (c ...) ... }`` —
+    keyword already consumed. The filter form of SPARQL §10.2: the
+    variables must be bound by the graph patterns."""
+    t = ts.next()
+    if t == ("punct", "("):
+        names = []
+        while ts.peek() and ts.peek()[0] == "var":
+            names.append(ts.next()[1][1:])
+        ts.expect(")")
+        if not names:
+            raise SparqlError("VALUES needs at least one variable")
+        ts.expect("{")
+        rows = []
+        while ts.peek() == ("punct", "("):
+            ts.next()
+            row = []
+            for _ in names:
+                c = _term(ts.next(), base)
+                if c[0] != "const":
+                    raise SparqlError("VALUES rows must be constants")
+                row.append(c[1])
+            ts.expect(")")
+            rows.append(tuple(row))
+        ts.expect("}")
+    elif t[0] == "var":
+        names = [t[1][1:]]
+        ts.expect("{")
+        rows = []
+        while ts.peek() and ts.peek() != ("punct", "}"):
+            c = _term(ts.next(), base)
+            if c[0] != "const":
+                raise SparqlError("VALUES rows must be constants")
+            rows.append((c[1],))
+        ts.expect("}")
+    else:
+        raise SparqlError("VALUES needs ?var or (?var ...)")
+    if not rows:
+        raise SparqlError("empty VALUES block")
+    q.values.append((tuple(names), rows))
+
+
 def _parse_group(ts: _Tokens, base: str, q: _Query, optional: bool):
     ts.expect("{")
     while True:
@@ -180,6 +333,11 @@ def _parse_group(ts: _Tokens, base: str, q: _Query, optional: bool):
         if t == ("punct", "."):
             ts.next()
             continue
+        if t == ("punct", "{"):
+            if optional:
+                raise SparqlError("UNION inside OPTIONAL is not supported")
+            q.patterns.append(_parse_union(ts, base))
+            continue
         if t[0] == "word" and t[1].upper() == "OPTIONAL":
             if optional:
                 raise SparqlError("nested OPTIONAL is not supported")
@@ -190,18 +348,13 @@ def _parse_group(ts: _Tokens, base: str, q: _Query, optional: bool):
             ts.next()
             _parse_filter(ts, base, q)
             continue
-        subj = _term(ts.next(), base)
-        pred = _term(ts.next(), base)
-        path = False
-        if ts.peek() == ("punct", "+"):
+        if t[0] == "word" and t[1].upper() == "VALUES":
+            if optional:
+                raise SparqlError("VALUES inside OPTIONAL is not supported")
             ts.next()
-            path = True
-            if pred[0] != "const":
-                raise SparqlError(
-                    "property path needs a constant predicate (<p>+)")
-        obj = _term(ts.next(), base)
-        q.patterns.append(_Pattern((subj, pred, obj), optional=optional,
-                                   path=path))
+            _parse_values(ts, base, q)
+            continue
+        q.patterns.append(_parse_pattern(ts, base, optional))
 
 
 def _parse_filter(ts: _Tokens, base: str, q: _Query):
@@ -311,7 +464,7 @@ def parse(query: str, base: str = DEFAULT_BASE) -> _Query:
                               "supported")
     ts.expect("WHERE")
     q = _Query(select, distinct, [], [], [], None, construct,
-               aggs, [])
+               aggs, [], [])
     _parse_group(ts, base, q, optional=False)
     if construct is not None and ts.peek() is not None:
         # the triple SET a CONSTRUCT emits is unordered, so ORDER/LIMIT
@@ -400,6 +553,10 @@ def _validate(q: _Query):
     for _, var, _ in q.filters:
         if var not in bound:
             raise SparqlError(f"FILTER on unbound variable ?{var}")
+    for names, _ in q.values or []:
+        for v in names:
+            if v not in bound:
+                raise SparqlError(f"VALUES of unbound variable ?{v}")
     out_vars = (set(q.group) | {a[3] for a in q.aggs}) if q.aggs else bound
     for var, _ in q.order:
         if var not in out_vars:
@@ -422,6 +579,10 @@ def _bind(df: DataFrame, pos_terms: list, idx: int) -> tuple:
     for pos, (kind, name) in pos_terms:
         if kind == "const":
             df = df.filter(F.col(pos) == name)
+        elif kind == "alt":
+            # predicate alternation: an IN filter, pushed down like
+            # any constant predicate
+            df = df.filter(F.col(pos).isin(*name))
         elif name in seen:
             df = df.filter(F.col(pos) == F.col(seen[name]))
         else:
@@ -513,6 +674,32 @@ def _closure(edges: DataFrame) -> DataFrame:
         n = m
 
 
+def _union_frame(triples: DataFrame, u: _Union, idx) -> tuple:
+    """A UNION block → one frame of branch solutions, multiset
+    semantics (SPARQL §16.2 eliminates duplicates only under
+    DISTINCT): per-branch inner joins, then ``unionByName`` — branch
+    var sets are identical by parse-time check, so no unbound cases."""
+    frames = []
+    for j, branch in enumerate(u.branches):
+        acc, bound = _scan(triples, branch[0], f"{idx}_{j}_0")
+        for k, p in enumerate(branch[1:], start=1):
+            frame, pvars = _scan(triples, p, f"{idx}_{j}_{k}")
+            on = sorted(bound & pvars)
+            acc = acc.join(frame, on=on) if on else acc.crossJoin(frame)
+            bound |= pvars
+        frames.append(acc.select(*sorted(bound)))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out, u.vars
+
+
+def _scan_any(triples: DataFrame, p, idx) -> tuple:
+    if isinstance(p, _Union):
+        return _union_frame(triples, p, idx)
+    return _scan(triples, p, idx)
+
+
 def _solve(triples: DataFrame, q: _Query) -> tuple:
     """Join + filter phase shared by SELECT and CONSTRUCT: returns the
     solution frame (one column per bound variable) and the var set."""
@@ -523,9 +710,9 @@ def _solve(triples: DataFrame, q: _Query) -> tuple:
     # their pair sets are closure-sized, not scan-sized.
     required.sort(key=lambda p: (p.path, -p.n_const))
 
-    acc, bound = _scan(triples, required[0], 0)
+    acc, bound = _scan_any(triples, required[0], 0)
     for i, p in enumerate(required[1:] + optional, start=1):
-        frame, pvars = _scan(triples, p, i)
+        frame, pvars = _scan_any(triples, p, i)
         on = sorted(bound & pvars)
         how = "left" if p.optional else "inner"
         if on:
@@ -546,7 +733,31 @@ def _solve(triples: DataFrame, q: _Query) -> tuple:
                 "CONTAINS": lambda: c.contains(value),
                 "STRSTARTS": lambda: c.startswith(value)}[kind]()
         acc = acc.filter(cond)
+    for names, rows in q.values or []:
+        if len(names) == 1:
+            acc = acc.filter(F.col(names[0]).isin(
+                *[r[0] for r in rows]))
+        else:
+            # inline lists are tiny by construction — an OR of
+            # conjunctions stays a pushable Column predicate
+            acc = acc.filter(_any_of([
+                _all_of([F.col(v) == val for v, val in zip(names, row)])
+                for row in rows]))
     return acc, bound
+
+
+def _all_of(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def _any_of(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
 
 
 def _construct(solutions: DataFrame, templates: list) -> DataFrame:
@@ -628,6 +839,23 @@ def to_sql(q: _Query, table: str = "triples") -> str:
     ctes = []
     for i, p in enumerate(ordered):
         t = f"t{i}"
+        if isinstance(p, _Union):
+            # UNION ALL of per-branch sub-selects (multiset semantics,
+            # matching the Spark unionByName), joined as a derived
+            # table on its shared variables
+            sub = " UNION ALL ".join(
+                _branch_sql(b, table, f"u{i}b{j}")
+                for j, b in enumerate(p.branches))
+            local_conds = []
+            for v in sorted(p.vars):
+                if v in seen_vars:
+                    local_conds.append(f"{t}.{v} = {seen_vars[v]}")
+                else:
+                    seen_vars[v] = f"{t}.{v}"
+            joins.append(f"({sub}) {t}" if i == 0
+                         else f"CROSS JOIN ({sub}) {t}")
+            conds += local_conds
+            continue
         if p.path:
             # <pred>+ → a recursive CTE computing the same ≥1-hop
             # reachability pair set the Spark side builds
@@ -647,6 +875,9 @@ def to_sql(q: _Query, table: str = "triples") -> str:
         for pos, (kind, name) in pos_terms:
             if kind == "const":
                 local_conds.append(f"{t}.{pos} = {_sql_str(name)}")
+            elif kind == "alt":
+                vals = ", ".join(_sql_str(v) for v in name)
+                local_conds.append(f"{t}.{pos} IN ({vals})")
             elif name in seen_vars:
                 local_conds.append(f"{t}.{pos} = {seen_vars[name]}")
             else:
@@ -670,6 +901,17 @@ def to_sql(q: _Query, table: str = "triples") -> str:
             "REGEX": f"regexp_matches({v}, {s})",
             "CONTAINS": f"contains({v}, {s})",
             "STRSTARTS": f"starts_with({v}, {s})"}[kind])
+    for names, rows in q.values or []:
+        if len(names) == 1:
+            vals = ", ".join(_sql_str(r[0]) for r in rows)
+            filt_parts.append(f"{aliases[names[0]]} IN ({vals})")
+        else:
+            ors = " OR ".join(
+                "(" + " AND ".join(
+                    f"{aliases[v]} = {_sql_str(val)}"
+                    for v, val in zip(names, row)) + ")"
+                for row in rows)
+            filt_parts.append(f"({ors})")
     where = " AND ".join(conds + filt_parts) or "TRUE"
     frm = f"FROM {' '.join(joins)} WHERE {where}"
     with_clause = f"WITH RECURSIVE {', '.join(ctes)} " if ctes else ""
@@ -721,6 +963,29 @@ def to_sql(q: _Query, table: str = "triples") -> str:
     if q.limit is not None:
         sql += f" LIMIT {q.limit}"
     return sql
+
+
+def _branch_sql(patterns: list, table: str, prefix: str) -> str:
+    """One UNION branch → a flat SELECT of its variables (sorted, the
+    column order the Spark side uses)."""
+    joins, conds, seen = [], [], {}
+    for k, p in enumerate(patterns):
+        t = f"{prefix}_{k}"
+        joins.append(f"{table} {t}" if k == 0
+                     else f"CROSS JOIN {table} {t}")
+        for pos, (kind, name) in zip(_POSITIONS, p.terms):
+            if kind == "const":
+                conds.append(f"{t}.{pos} = {_sql_str(name)}")
+            elif kind == "alt":
+                vals = ", ".join(_sql_str(v) for v in name)
+                conds.append(f"{t}.{pos} IN ({vals})")
+            elif name in seen:
+                conds.append(f"{t}.{pos} = {seen[name]}")
+            else:
+                seen[name] = f"{t}.{pos}"
+    sel = ", ".join(f"{seen[v]} AS {v}" for v in sorted(seen))
+    return (f"SELECT {sel} FROM {' '.join(joins)} "
+            f"WHERE {' AND '.join(conds) or 'TRUE'}")
 
 
 def _sql_str(s: str) -> str:

@@ -252,6 +252,99 @@ def test_construct_rejects_modifiers_and_unbound(triples):
 
 
 # ---------------------------------------------------------------------------
+# alternation / inverse / UNION / VALUES
+# ---------------------------------------------------------------------------
+
+def test_predicate_alternation(triples):
+    got = run(triples, '''
+        SELECT ?s ?o WHERE { ?s "infect"|"mutate" ?o }''')
+    assert got == [("ebola", "cell"), ("ebola", "host"),
+                   ("virus x", "cell"), ("virus x", "genome")]
+
+
+def test_inverse_predicate(triples):
+    # s ^p o  ≡  o p s: what infects the cell?
+    got = run(triples, 'SELECT ?x WHERE { "cell" ^"infect" ?x }')
+    assert got == [("ebola",), ("virus x",)]
+
+
+def test_inverse_property_path(triples):
+    # ^(contain+): everything transitively contained BY host
+    got = run(triples, 'SELECT ?x WHERE { ?x ^"contain"+ "host" }')
+    assert got == [("cell",), ("genome",)]
+
+
+def test_union_basic(triples):
+    got = run(triples, '''
+        SELECT ?s ?o WHERE {
+            { ?s "infect" ?o } UNION { ?s "mutate" ?o } }''')
+    assert got == [("ebola", "cell"), ("ebola", "host"),
+                   ("virus x", "cell"), ("virus x", "genome")]
+
+
+def test_union_preserves_duplicates(triples):
+    # SPARQL UNION is a multiset union — identical branches double up
+    got = run(triples, '''
+        SELECT ?o WHERE {
+            { "ebola" "infect" ?o } UNION { "ebola" "infect" ?o } }''')
+    assert got == [("cell",), ("cell",), ("host",), ("host",)]
+
+
+def test_union_joined_with_pattern(triples):
+    # sources of cell via either relation, then what cell contains
+    got = run(triples, '''
+        SELECT ?s ?g WHERE {
+            { ?s "infect" ?x } UNION { ?s "contain" ?x } .
+            ?x "contain" ?g }''')
+    assert got == [("ebola", "cell"), ("ebola", "genome"),
+                   ("host", "genome"), ("self", "self"),
+                   ("virus x", "genome")]
+
+
+def test_values_single_var(triples):
+    got = run(triples, '''
+        SELECT ?s ?o WHERE { ?s "infect" ?o .
+            VALUES ?s { "ebola" } }''')
+    assert got == [("ebola", "cell"), ("ebola", "host")]
+
+
+def test_values_multi_var(triples):
+    got = run(triples, '''
+        SELECT ?s ?o WHERE { ?s ?p ?o .
+            VALUES (?s ?o) { ("ebola" "cell") ("cell" "genome") } }''')
+    assert got == [("cell", "genome"), ("ebola", "cell")]
+
+
+def test_union_values_errors(triples):
+    bad = [
+        # UNION branches binding different variables
+        ('SELECT ?s WHERE { { ?s "infect" ?o } UNION '
+         '{ ?s "mutate" ?g } }'),
+        # lone braced group (no UNION)
+        'SELECT ?s WHERE { { ?s "infect" ?o } }',
+        # OPTIONAL inside a UNION branch
+        ('SELECT ?s WHERE { { OPTIONAL { ?s "infect" ?o } } UNION '
+         '{ ?s "mutate" ?o } }'),
+        # property path inside a UNION branch
+        ('SELECT ?a WHERE { { ?a "contain"+ ?b } UNION '
+         '{ ?a "infect" ?b } }'),
+        # alternation with a variable alternative
+        'SELECT ?s WHERE { ?s "infect"|?p ?o }',
+        # path over an alternation
+        'SELECT ?s WHERE { ?s "infect"|"contain"+ ?o }',
+        # VALUES of an unbound variable
+        'SELECT ?s WHERE { ?s "infect" ?o . VALUES ?zz { "x" } }',
+        # VALUES with non-constant rows
+        'SELECT ?s WHERE { ?s "infect" ?o . VALUES ?s { ?o } }',
+        # empty VALUES
+        'SELECT ?s WHERE { ?s "infect" ?o . VALUES ?s { } }',
+    ]
+    for q in bad:
+        with pytest.raises(S.SparqlError):
+            S.sparql(triples, q)
+
+
+# ---------------------------------------------------------------------------
 # aggregates (GROUP BY + COUNT/MIN/MAX)
 # ---------------------------------------------------------------------------
 
@@ -365,6 +458,16 @@ TWIN_QUERIES = [
      'OPTIONAL { ?x "encode" ?g } } GROUP BY ?x'),
     ('SELECT ?b (COUNT(DISTINCT ?a) AS ?n) WHERE { ?a "contain"+ ?b } '
      'GROUP BY ?b'),
+    'SELECT ?s ?o WHERE { ?s "infect"|"mutate"|"encode" ?o }',
+    'SELECT ?x ?g WHERE { ?x ^"infect" "cell" . ?x "mutate" ?g }',
+    ('SELECT ?s ?o WHERE { { ?s "infect" ?o } UNION '
+     '{ ?s "mutate" ?o } UNION { ?o "contain" ?s } }'),
+    ('SELECT ?s ?g WHERE { { ?s "infect" ?x } UNION '
+     '{ ?s "contain" ?x } . ?x "contain" ?g }'),
+    ('SELECT ?p (COUNT(*) AS ?n) WHERE { { ?s "infect" ?o } UNION '
+     '{ ?s "infect" ?o } . ?s ?p ?g } GROUP BY ?p'),
+    ('SELECT ?s ?o WHERE { ?s ?p ?o . VALUES ?p { "infect" "encode" } '
+     'VALUES (?s ?o) { ("ebola" "cell") ("genome" "protein") } }'),
 ]
 
 
