@@ -28,6 +28,8 @@ Supported grammar (case-insensitive keywords)::
               | { pattern ... } UNION { pattern ... } [UNION ...]
               | OPTIONAL { pattern ... } -- left join
               | FILTER ( cond )
+              | MINUS { pattern ... }    -- anti-join (§8.3)
+              | FILTER [NOT] EXISTS { pattern ... }  -- semi/anti-join
               | VALUES ?v { const ... }  -- inline data (filter form)
               | VALUES (?v ...) { (const ...) ... }
     pred     := [^]term                  -- ^ = inverse (§9.1)
@@ -50,6 +52,10 @@ Compilation is Spark-first and fully declarative:
   the accumulated join is the cartesian SPARQL semantics require and
   compiles to ``crossJoin`` (caller beware, as in any engine);
 * OPTIONAL blocks compile to left joins after all required patterns;
+* MINUS / FILTER NOT EXISTS compile to ``left_anti`` joins and FILTER
+  EXISTS to ``left_semi`` — the blocks must share ≥1 required-bound
+  variable, so the equi-join matches SPARQL's compatibility rule
+  exactly (no NULL-key cases) and stays broadcastable when small;
 * FILTER / DISTINCT / ORDER / LIMIT are ordinary Column expressions
   on the joined frame;
 * aggregate projections compile to one ``groupBy(...).agg(...)`` over
@@ -138,6 +144,7 @@ class _Query:
     aggs: list = None    # (func, arg-var-or-"*", distinct, alias)
     group: list = None   # GROUP BY variable names
     values: list = None  # (var-name tuple, rows) inline-data blocks
+    exists: list = None  # (branch _Patterns, positive) semi/anti blocks
 
 
 @dataclass
@@ -231,37 +238,44 @@ def _parse_pattern(ts: _Tokens, base: str, optional: bool) -> _Pattern:
     return _Pattern((subj, pred, obj), optional=optional, path=path)
 
 
+def _parse_plain_group(ts: _Tokens, base: str, what: str) -> list:
+    """A braced group of plain triple patterns (no nesting, no paths)
+    — the branch form shared by UNION / MINUS / EXISTS."""
+    ts.expect("{")
+    branch = []
+    while True:
+        t = ts.peek()
+        if t is None:
+            raise SparqlError(f"unterminated {what} branch")
+        if t == ("punct", "}"):
+            ts.next()
+            break
+        if t == ("punct", "."):
+            ts.next()
+            continue
+        if t[0] == "word" and t[1].upper() in ("OPTIONAL", "FILTER",
+                                               "VALUES", "UNION",
+                                               "MINUS"):
+            raise SparqlError(
+                f"{t[1].upper()} inside a {what} branch is not "
+                "supported")
+        p = _parse_pattern(ts, base, optional=False)
+        if p.path:
+            raise SparqlError(
+                f"property path inside a {what} branch is not "
+                "supported")
+        branch.append(p)
+    if not branch:
+        raise SparqlError(f"empty {what} branch")
+    return branch
+
+
 def _parse_union(ts: _Tokens, base: str) -> _Union:
     """``{ patterns } UNION { patterns } [UNION ...]`` — first ``{``
     NOT yet consumed. Branch groups hold plain triple patterns only."""
     branches = []
     while True:
-        ts.expect("{")
-        branch = []
-        while True:
-            t = ts.peek()
-            if t is None:
-                raise SparqlError("unterminated UNION branch")
-            if t == ("punct", "}"):
-                ts.next()
-                break
-            if t == ("punct", "."):
-                ts.next()
-                continue
-            if t[0] == "word" and t[1].upper() in ("OPTIONAL", "FILTER",
-                                                   "VALUES", "UNION"):
-                raise SparqlError(
-                    f"{t[1].upper()} inside a UNION branch is not "
-                    "supported")
-            p = _parse_pattern(ts, base, optional=False)
-            if p.path:
-                raise SparqlError(
-                    "property path inside a UNION branch is not "
-                    "supported")
-            branch.append(p)
-        if not branch:
-            raise SparqlError("empty UNION branch")
-        branches.append(branch)
+        branches.append(_parse_plain_group(ts, base, "UNION"))
         if ts.peek() and ts.peek()[0] == "word" \
                 and ts.peek()[1].upper() == "UNION":
             ts.next()
@@ -346,7 +360,27 @@ def _parse_group(ts: _Tokens, base: str, q: _Query, optional: bool):
             continue
         if t[0] == "word" and t[1].upper() == "FILTER":
             ts.next()
-            _parse_filter(ts, base, q)
+            nt = ts.peek()
+            if nt and nt[0] == "word" and nt[1].upper() in ("NOT",
+                                                            "EXISTS"):
+                if optional:
+                    raise SparqlError(
+                        "EXISTS inside OPTIONAL is not supported")
+                positive = nt[1].upper() == "EXISTS"
+                ts.next()
+                if not positive:
+                    ts.expect("EXISTS")
+                q.exists.append(
+                    (_parse_plain_group(ts, base, "EXISTS"), positive))
+            else:
+                _parse_filter(ts, base, q)
+            continue
+        if t[0] == "word" and t[1].upper() == "MINUS":
+            if optional:
+                raise SparqlError("MINUS inside OPTIONAL is not supported")
+            ts.next()
+            q.exists.append(
+                (_parse_plain_group(ts, base, "MINUS"), False))
             continue
         if t[0] == "word" and t[1].upper() == "VALUES":
             if optional:
@@ -464,7 +498,7 @@ def parse(query: str, base: str = DEFAULT_BASE) -> _Query:
                               "supported")
     ts.expect("WHERE")
     q = _Query(select, distinct, [], [], [], None, construct,
-               aggs, [], [])
+               aggs, [], [], [])
     _parse_group(ts, base, q, optional=False)
     if construct is not None and ts.peek() is not None:
         # the triple SET a CONSTRUCT emits is unordered, so ORDER/LIMIT
@@ -557,6 +591,21 @@ def _validate(q: _Query):
         for v in names:
             if v not in bound:
                 raise SparqlError(f"VALUES of unbound variable ?{v}")
+    for branch, positive in q.exists or []:
+        what = "EXISTS" if positive else "MINUS/NOT EXISTS"
+        bvars = set().union(*(p.vars for p in branch))
+        shared = bvars & bound
+        if not shared:
+            raise SparqlError(
+                f"{what} block shares no variable with the query")
+        if shared - required:
+            # a shared var bound only inside OPTIONAL can be NULL,
+            # where SPARQL's compatibility rule and an equi-anti-join
+            # diverge — rejected rather than silently wrong
+            raise SparqlError(
+                f"{what} block may only share variables bound by "
+                f"required patterns (got optional-only "
+                f"{sorted(shared - required)})")
     out_vars = (set(q.group) | {a[3] for a in q.aggs}) if q.aggs else bound
     for var, _ in q.order:
         if var not in out_vars:
@@ -681,17 +730,24 @@ def _union_frame(triples: DataFrame, u: _Union, idx) -> tuple:
     var sets are identical by parse-time check, so no unbound cases."""
     frames = []
     for j, branch in enumerate(u.branches):
-        acc, bound = _scan(triples, branch[0], f"{idx}_{j}_0")
-        for k, p in enumerate(branch[1:], start=1):
-            frame, pvars = _scan(triples, p, f"{idx}_{j}_{k}")
-            on = sorted(bound & pvars)
-            acc = acc.join(frame, on=on) if on else acc.crossJoin(frame)
-            bound |= pvars
+        acc, bound = _branch_frame(triples, branch, f"{idx}_{j}")
         frames.append(acc.select(*sorted(bound)))
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
     return out, u.vars
+
+
+def _branch_frame(triples: DataFrame, branch: list, idx) -> tuple:
+    """Inner-join a plain-pattern branch (the UNION/MINUS/EXISTS
+    shape) into one solution frame."""
+    acc, bound = _scan(triples, branch[0], f"{idx}_0")
+    for k, p in enumerate(branch[1:], start=1):
+        frame, pvars = _scan(triples, p, f"{idx}_{k}")
+        on = sorted(bound & pvars)
+        acc = acc.join(frame, on=on) if on else acc.crossJoin(frame)
+        bound |= pvars
+    return acc, bound
 
 
 def _scan_any(triples: DataFrame, p, idx) -> tuple:
@@ -743,6 +799,14 @@ def _solve(triples: DataFrame, q: _Query) -> tuple:
             acc = acc.filter(_any_of([
                 _all_of([F.col(v) == val for v, val in zip(names, row)])
                 for row in rows]))
+    for i, (branch, positive) in enumerate(q.exists or []):
+        frame, bvars = _branch_frame(triples, branch, f"x{i}")
+        on = sorted(bound & bvars)
+        # semi/anti joins keep left multiplicity, matching SQL
+        # [NOT] EXISTS; shared vars are required-bound (validated),
+        # so no NULL-key compatibility cases arise
+        acc = acc.join(frame.select(*on),
+                       on=on, how="left_semi" if positive else "left_anti")
     return acc, bound
 
 
@@ -912,6 +976,10 @@ def to_sql(q: _Query, table: str = "triples") -> str:
                     for v, val in zip(names, row)) + ")"
                 for row in rows)
             filt_parts.append(f"({ors})")
+    for i, (branch, positive) in enumerate(q.exists or []):
+        sub = _branch_sql(branch, table, f"x{i}", outer=aliases)
+        filt_parts.append(
+            f"{'EXISTS' if positive else 'NOT EXISTS'} ({sub})")
     where = " AND ".join(conds + filt_parts) or "TRUE"
     frm = f"FROM {' '.join(joins)} WHERE {where}"
     with_clause = f"WITH RECURSIVE {', '.join(ctes)} " if ctes else ""
@@ -965,9 +1033,11 @@ def to_sql(q: _Query, table: str = "triples") -> str:
     return sql
 
 
-def _branch_sql(patterns: list, table: str, prefix: str) -> str:
-    """One UNION branch → a flat SELECT of its variables (sorted, the
-    column order the Spark side uses)."""
+def _branch_sql(patterns: list, table: str, prefix: str,
+                outer: dict | None = None) -> str:
+    """One plain-pattern branch → a flat SELECT of its variables
+    (UNION form, ``outer=None``), or a ``SELECT 1`` correlated to the
+    outer query's variable aliases (the [NOT] EXISTS form)."""
     joins, conds, seen = [], [], {}
     for k, p in enumerate(patterns):
         t = f"{prefix}_{k}"
@@ -983,9 +1053,13 @@ def _branch_sql(patterns: list, table: str, prefix: str) -> str:
                 conds.append(f"{t}.{pos} = {seen[name]}")
             else:
                 seen[name] = f"{t}.{pos}"
+                if outer is not None and name in outer:
+                    conds.append(f"{t}.{pos} = {outer[name]}")
+    frm = f"FROM {' '.join(joins)} WHERE {' AND '.join(conds) or 'TRUE'}"
+    if outer is not None:
+        return f"SELECT 1 {frm}"
     sel = ", ".join(f"{seen[v]} AS {v}" for v in sorted(seen))
-    return (f"SELECT {sel} FROM {' '.join(joins)} "
-            f"WHERE {' AND '.join(conds) or 'TRUE'}")
+    return f"SELECT {sel} {frm}"
 
 
 def _sql_str(s: str) -> str:

@@ -345,6 +345,74 @@ def test_union_values_errors(triples):
 
 
 # ---------------------------------------------------------------------------
+# MINUS / FILTER [NOT] EXISTS
+# ---------------------------------------------------------------------------
+
+def test_minus(triples):
+    # infectors that do NOT also mutate anything
+    got = run(triples, '''
+        SELECT ?s ?o WHERE { ?s "infect" ?o
+            MINUS { ?s "mutate" ?g } }''')
+    assert got == [("ebola", "cell"), ("ebola", "host")]
+
+
+def test_filter_not_exists(triples):
+    got = run(triples, '''
+        SELECT ?s ?o WHERE { ?s "infect" ?o .
+            FILTER NOT EXISTS { ?s "mutate" ?g } }''')
+    assert got == [("ebola", "cell"), ("ebola", "host")]
+
+
+def test_filter_exists(triples):
+    # infectors that ALSO mutate something
+    got = run(triples, '''
+        SELECT ?s ?o WHERE { ?s "infect" ?o .
+            FILTER EXISTS { ?s "mutate" ?g } }''')
+    assert got == [("virus x", "cell")]
+
+
+def test_exists_keeps_multiplicity(triples):
+    # semi-join: left multiplicity preserved (duplicated via UNION),
+    # and NOT multiplied by the number of EXISTS witnesses
+    got = run(triples, '''
+        SELECT ?o WHERE {
+            { "ebola" "infect" ?o } UNION { "ebola" "infect" ?o } .
+            FILTER EXISTS { ?x "contain" ?o } }''')
+    assert got == [("cell",), ("cell",)]
+
+
+def test_minus_on_shared_join_var(triples):
+    # objects of infect that are not containers
+    got = run(triples, '''
+        SELECT ?s ?o WHERE { ?s "infect" ?o
+            MINUS { ?o "contain" ?g } }''')
+    assert got == []  # cell and host both contain something
+
+
+def test_exists_errors(triples):
+    bad = [
+        # no shared variable
+        ('SELECT ?s WHERE { ?s "infect" ?o '
+         'MINUS { ?a "mutate" ?b } }'),
+        # shared variable bound only inside OPTIONAL
+        ('SELECT ?s WHERE { ?s "infect" ?o . '
+         'OPTIONAL { ?o "mutate" ?g } '
+         'MINUS { ?g "encode" ?x } }'),
+        # MINUS inside OPTIONAL
+        ('SELECT ?s WHERE { ?s "infect" ?o . '
+         'OPTIONAL { ?o "mutate" ?g MINUS { ?g "encode" ?x } } }'),
+        # nested MINUS inside a MINUS branch
+        ('SELECT ?s WHERE { ?s "infect" ?o '
+         'MINUS { ?s "mutate" ?g MINUS { ?g "encode" ?x } } }'),
+        # FILTER NOT without EXISTS
+        'SELECT ?s WHERE { ?s "infect" ?o . FILTER NOT (?s = "x") }',
+    ]
+    for q in bad:
+        with pytest.raises(S.SparqlError):
+            S.sparql(triples, q)
+
+
+# ---------------------------------------------------------------------------
 # aggregates (GROUP BY + COUNT/MIN/MAX)
 # ---------------------------------------------------------------------------
 
@@ -468,6 +536,13 @@ TWIN_QUERIES = [
      '{ ?s "infect" ?o } . ?s ?p ?g } GROUP BY ?p'),
     ('SELECT ?s ?o WHERE { ?s ?p ?o . VALUES ?p { "infect" "encode" } '
      'VALUES (?s ?o) { ("ebola" "cell") ("genome" "protein") } }'),
+    'SELECT ?s ?o WHERE { ?s "infect" ?o MINUS { ?s "mutate" ?g } }',
+    ('SELECT ?s ?o WHERE { ?s "infect" ?o . '
+     'FILTER EXISTS { ?o "contain" ?g } }'),
+    ('SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o . '
+     'FILTER NOT EXISTS { ?o "contain" ?g } } GROUP BY ?s'),
+    ('SELECT ?s ?o WHERE { ?s "infect"|"mutate" ?o '
+     'MINUS { ?x "contain" ?o } }'),
 ]
 
 
