@@ -209,3 +209,31 @@ def test_kg_refresh_snapshot_diff(spark):
         removed = {tuple(r)[:3] for r in delta if r["change"] == "removed"}
         assert added == v1 - v0
         assert removed == v0 - v1
+
+
+def test_sparql_time_travel_over_snapshots(spark):
+    """SPARQL over snapshot versions = time-travel graph queries: the
+    same query text answers against any retained KG state, and a
+    CONSTRUCT rule over diff() derives triples only for the refresh's
+    new facts."""
+    from multivac_spark.operators.sparql import sparql
+
+    with tempfile.TemporaryDirectory() as d:
+        v0 = [("ebola", "infect", "cell"), ("cell", "contain", "genome")]
+        v1 = v0 + [("drug", "inhibit", "ebola"),
+                   ("virus x", "infect", "cell")]
+        snapshots.commit(spark, d, _df(spark, v0))
+        snapshots.commit(spark, d, _df(spark, v1))
+
+        q = 'SELECT ?s WHERE { ?s "infect" ?x . ?x "contain" ?g }'
+        then = sparql(snapshots.read(spark, d, version=0), q)
+        now = sparql(snapshots.read(spark, d), q)
+        assert _rows(then) == [("ebola",)]
+        assert _rows(now) == [("ebola",), ("virus x",)]
+
+        # enrichment rule applied ONLY to the refresh's added triples
+        added = (snapshots.diff(spark, d, 0, 1)
+                 .filter("change = 'added'").select("subj", "pred", "obj"))
+        derived = sparql(added, '''
+            CONSTRUCT { ?o "inhibited_by" ?s } WHERE { ?s "inhibit" ?o }''')
+        assert _rows(derived) == [("ebola", "inhibited_by", "drug")]
