@@ -1015,8 +1015,8 @@ def to_sql(q: _Query, table: str = "triples") -> str:
         if q.group:
             sql += " GROUP BY " + ", ".join(aliases[v] for v in q.group)
         if q.order:
-            sql += " ORDER BY " + ", ".join(
-                f"{v} {'ASC' if asc else 'DESC'}" for v, asc in q.order)
+            sql += " ORDER BY " + ", ".join(_order_sql(v, asc)
+                                            for v, asc in q.order)
         if q.limit is not None:
             sql += f" LIMIT {q.limit}"
         return sql
@@ -1026,8 +1026,8 @@ def to_sql(q: _Query, table: str = "triples") -> str:
     sql = (f"{with_clause}SELECT {'DISTINCT ' if q.distinct else ''}"
            f"{sel} {frm}")
     if q.order:
-        sql += " ORDER BY " + ", ".join(
-            f"{v} {'ASC' if asc else 'DESC'}" for v, asc in q.order)
+        sql += " ORDER BY " + ", ".join(_order_sql(v, asc)
+                                        for v, asc in q.order)
     if q.limit is not None:
         sql += f" LIMIT {q.limit}"
     return sql
@@ -1060,6 +1060,15 @@ def _branch_sql(patterns: list, table: str, prefix: str,
         return f"SELECT 1 {frm}"
     sel = ", ".join(f"{seen[v]} AS {v}" for v in sorted(seen))
     return f"SELECT {sel} {frm}"
+
+
+
+
+def _order_sql(v: str, asc: bool) -> str:
+    """Spark sorts NULLs first on ASC, last on DESC; DuckDB defaults
+    to NULLS LAST everywhere — made explicit so ORDER BY + LIMIT over
+    OPTIONAL-born NULLs selects the same ROW SET in both engines."""
+    return f"{v} ASC NULLS FIRST" if asc else f"{v} DESC NULLS LAST"
 
 
 def _sql_str(s: str) -> str:

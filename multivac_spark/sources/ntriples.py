@@ -52,11 +52,32 @@ def _decode_iri(col, base: str):
     returned whole (still decoded of percent-escapes they carry).
     Raw ``+`` is re-escaped before ``url_decode`` so it survives as a
     literal plus (RFC 3986 semantics) instead of form-decoding to a
-    space — a no-op for our own IRIs, which never contain raw ``+``."""
-    local = F.when(col.startswith(base),
-                   F.substring(col, len(base) + 1, 1 << 20)) \
-        .otherwise(col)
-    return F.url_decode(F.regexp_replace(local, r"\+", "%2B"))
+    space — a no-op for our own IRIs, which never contain raw ``+``.
+    UCHAR escapes (the ONLY backslash form IRIREF permits, §2.4)
+    decode first — third-party exporters commonly \\u-escape non-ASCII
+    IRIs; the contains-backslash guard keeps our own escape-free IRIs
+    on the cheap path. The decoded value is referenced three times
+    (startswith + both branches), so it is bound ONCE as a lambda
+    value (``dedup.bound``) — CollapseProject would otherwise inline
+    the whole tokenize-and-rejoin expression per reference."""
+    from ..operators.dedup import bound
+
+    decoded = F.when(col.contains("\\"),
+                     _unescape_uchar(col)).otherwise(col)
+    return bound(decoded, lambda c: F.url_decode(F.regexp_replace(
+        F.when(c.startswith(base),
+               F.substring(c, len(base) + 1, 1 << 20)).otherwise(c),
+        r"\+", "%2B")))
+
+
+def _unescape_uchar(col):
+    """UCHAR-only unescape for IRIREF bodies (a stray backslash —
+    illegal per grammar — passes through verbatim)."""
+    toks = F.regexp_extract_all(col, F.lit(_ESCAPE_TOKEN_RE), 1)
+    return F.array_join(
+        F.transform(toks, lambda t:
+                    F.when(t.rlike(r"^\\[uU]"), _uchar_to_str(t))
+                    .otherwise(t)), "")
 
 
 def _escape_literal(col):
@@ -71,20 +92,43 @@ def _escape_literal(col):
         "\t", r"\\t")
 
 
+def _uchar_to_str(t):
+    """``\\uXXXX`` / ``\\UXXXXXXXX`` token → its character, all
+    JVM-side: hex → code point; BMP code points decode directly as
+    one UTF-16BE unit, supplementary ones via the surrogate-pair
+    arithmetic (no UTF-32 charset in Spark's decode)."""
+    cp = F.conv(F.substring(t, 3, 8), 16, 10).cast("long")
+    bmp = F.lpad(F.hex(cp), 4, "0")
+    hi = F.lpad(F.hex(F.lit(0xD800)
+                      + F.shiftright(cp - F.lit(0x10000), 10)), 4, "0")
+    lo = F.lpad(F.hex(F.lit(0xDC00) + (cp - F.lit(0x10000)) % 1024),
+                4, "0")
+    units = F.when(cp < 0x10000, bmp).otherwise(F.concat(hi, lo))
+    return F.decode(F.unhex(units), "UTF-16BE")
+
+
+# UCHAR first so \uXXXX wins over the pair rule; \\ then still pairs
+# before the run rule, so "\\u0041" stays a literal backslash + text
+_ESCAPE_TOKEN_RE = (r"(\\U[0-9A-Fa-f]{8}|\\u[0-9A-Fa-f]{4}"
+                    r"|\\.|[^\\]+)")
+
+
 def _unescape_literal(col):
-    """Single left-to-right pass, order-safe: tokenize into escape
-    PAIRS or backslash-free runs (the literal grammar guarantees
-    backslashes are paired), decode each token, rejoin. Chained
-    whole-string replaces would rewrite the output of earlier rules
-    (e.g. ``\\\\n`` — an escaped backslash then 'n' — must NOT become
-    a newline)."""
-    toks = F.regexp_extract_all(col, F.lit(r"(\\.|[^\\]+)"), 1)
+    """Single left-to-right pass, order-safe: tokenize into UCHAR
+    escapes (§2.4 UCHAR, \\uXXXX / \\UXXXXXXXX), escape PAIRS, or
+    backslash-free runs (the literal grammar guarantees backslashes
+    are paired), decode each token, rejoin. Chained whole-string
+    replaces would rewrite the output of earlier rules (e.g.
+    ``\\\\n`` — an escaped backslash then 'n' — must NOT become a
+    newline, and ``\\\\u0041`` must NOT become 'A')."""
+    toks = F.regexp_extract_all(col, F.lit(_ESCAPE_TOKEN_RE), 1)
     return F.array_join(
         F.transform(toks, lambda t: F.when(t == r"\n", F.lit("\n"))
                     .when(t == r"\r", F.lit("\r"))
                     .when(t == r"\t", F.lit("\t"))
                     .when(t == r'\"', F.lit('"'))
                     .when(t == "\\\\", F.lit("\\"))
+                    .when(t.rlike(r"^\\[uU]"), _uchar_to_str(t))
                     .otherwise(t)), "")
 
 

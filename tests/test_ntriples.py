@@ -107,3 +107,27 @@ def test_sink_over_real_pipeline_triples(spark, tmp_path):
     back = nt.read_ntriples(spark, path)
     assert sorted(map(tuple, back.collect())) == \
         sorted(map(tuple, df.collect()))
+
+
+def test_uchar_escapes_decode(spark, tmp_path):
+    r"""N-Triples §2.4 UCHAR: \uXXXX and \UXXXXXXXX decode in literals
+    AND IRIs (third-party exporters commonly \u-escape non-ASCII),
+    including supplementary-plane code points via surrogate-pair
+    arithmetic; '\\u0041' (escaped backslash then text) must NOT
+    become 'A'."""
+    p = tmp_path / "uchar"
+    p.mkdir()
+    base = "http://multivac-kg.local/"
+    (p / "u.nt").write_text(
+        f'<{base}s1> <{base}p> "A\\u00e9B" .\n'          # é (BMP)
+        f'<{base}s2> <{base}p> "\\U0001D400 bold" .\n'   # 𝐀 (SMP)
+        f'<{base}s3> <{base}p> "\\\\u0041" .\n'          # literal A
+        f'<{base}s4> <{base}p> "\\u0022quoted\\u0022" .\n'
+        f'<{base}caf\\u00e9> <{base}p> <{base}snow\\u2603man> .\n')
+    got = {r["subj"]: (r["pred"], r["obj"])
+           for r in nt.read_ntriples(spark, str(p)).collect()}
+    assert got["s1"] == ("p", "AéB")
+    assert got["s2"] == ("p", "\U0001D400 bold")
+    assert got["s3"] == ("p", "\\u0041")
+    assert got["s4"] == ("p", '"quoted"')
+    assert got["café"] == ("p", "snow☃man")
