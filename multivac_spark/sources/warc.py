@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import re
 from datetime import datetime, timezone
 from typing import Iterator
 
@@ -50,6 +51,11 @@ WARC_DOCS_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                     "text string, lang string")
 
 _CRLF = b"\r\n"
+
+# WARC-Date: WARC/1.0 is second-precision, WARC/1.1 allows 1-9
+# fractional digits (spec §5.4)
+_DATE_RE = re.compile(
+    r"(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})(?:\.(\d{1,9}))?Z$")
 
 
 def _warc_date(ts) -> str:
@@ -168,10 +174,18 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
         if hend < 0:
             break
         headers: dict[str, str] = {}
+        last_key = None
         for line in data[eol + 2:hend].split(_CRLF):
+            if line[:1] in (b" ", b"\t") and last_key:
+                # spec §4: header values may fold onto continuation
+                # lines beginning with space/tab
+                headers[last_key] = (
+                    headers[last_key] + " "
+                    + line.strip().decode("utf-8", "replace")).strip()
+                continue
             k, _, v = line.partition(b":")
-            headers[k.strip().lower().decode("latin-1")] = \
-                v.strip().decode("utf-8", "replace")
+            last_key = k.strip().lower().decode("latin-1")
+            headers[last_key] = v.strip().decode("utf-8", "replace")
         try:
             clen = int(headers.get("content-length", ""))
         except ValueError:
@@ -186,10 +200,18 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
             continue  # malformed record: skip, framing intact
         http_end = body.find(_CRLF + _CRLF)
         payload = body[http_end + 4:] if http_end >= 0 else b""
+        # WARC/1.0 dates are second-precision; WARC/1.1 (spec §5.4)
+        # allows 1-9 fractional digits — accept both, truncate to µs
+        m = _DATE_RE.match(date)
+        if not m:
+            continue
         try:
-            ts = datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ")
+            ts = datetime.strptime(m.group(1), "%Y-%m-%dT%H:%M:%S")
         except ValueError:
             continue
+        if m.group(2):
+            ts = ts.replace(
+                microsecond=int(m.group(2)[:6].ljust(6, "0")))
         out.append({
             "url": url,
             "warc_ts": ts,

@@ -171,3 +171,31 @@ def test_warc_incremental_drain_crash_resume(spark, tmp_path, monkeypatch):
     got = ingest.read_ingested_documents(spark, out, state)
     want = corpus.documents_df(spark, 60, partitions=2)
     assert _canon(got) == _canon(want)
+
+
+def test_warc11_fractional_dates_and_folded_headers():
+    """Third-party WARC/1.1 interop: WARC-Date with 1-9 fractional
+    digits (spec §5.4) must not drop the record, and folded header
+    continuation lines (spec §4) must append to the previous value."""
+    body = b"HTTP/1.1 200 OK\r\n\r\n<html>y</html>"
+    rec = (b"WARC/1.1\r\n"
+           b"WARC-Type: response\r\n"
+           b"WARC-Target-URI: https://h.example/frac\r\n"
+           b"WARC-Date: 2021-06-02T03:04:05.123456789Z\r\n"
+           b"WARC-Identified-Content-Language:\r\n"
+           b"  en\r\n"
+           + f"Content-Length: {len(body)}\r\n\r\n".encode()
+           + body + b"\r\n\r\n")
+    rec2 = (b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Target-URI: https://h.example/milli\r\n"
+            b"WARC-Date: 2021-06-02T03:04:05.5Z\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body + b"\r\n\r\n")
+    rows = warc.parse_warc_bytes(rec + rec2)
+    assert [r["url"] for r in rows] == ["https://h.example/frac",
+                                       "https://h.example/milli"]
+    assert rows[0]["warc_ts"] == datetime(2021, 6, 2, 3, 4, 5, 123456)
+    assert rows[0]["lang"] == "en"
+    assert rows[1]["warc_ts"] == datetime(2021, 6, 2, 3, 4, 5, 500000)
+    assert rows[0]["html"] == b"<html>y</html>"
