@@ -663,9 +663,9 @@ def _path_pairs(triples: DataFrame, p: _Pattern) -> DataFrame:
     ground endpoint turns the closure into a seeded frontier BFS —
     work proportional to the REACHABLE set (the `analytics.k_hop`
     shape), never the graph. Only the both-variable form pays the
-    full transitive closure, and that runs as pointer doubling —
-    path length doubles per round, so fixpoint in O(log diameter)
-    joins with `stats_barrier` lineage/stats cuts per round (the
+    full transitive closure, and that runs semi-naive (delta ⋈ edges
+    per round — see `_closure` for the measured case against pointer
+    doubling) with `stats_barrier` lineage/stats cuts per round (the
     Catalyst BigInt-stats trap documented in session.stats_barrier)."""
     pred = p.terms[1][1]
     edges = (triples.filter(F.col("pred") == pred)
@@ -705,22 +705,34 @@ def _bfs(edges: DataFrame, seed: str, forward: bool) -> DataFrame:
 
 
 def _closure(edges: DataFrame) -> DataFrame:
-    """Full transitive closure by pointer doubling (P ∪ P∘P per
-    round; reachable path length doubles each iteration)."""
+    """Full transitive closure, semi-naive: each round extends only
+    the DELTA (pairs first reached last round) by one edge hop, then
+    anti-joins the accumulated pairs.
+
+    Work shape: the per-round join is |delta| × edge-fanout — never
+    pairs ⋈ pairs. Pointer doubling (P ∪ P∘P) was measured 6.5×
+    slower on the sf0.1 KG's densest predicate slice (1,332 edges →
+    390,590 reachability pairs): its round-2/3 self-joins build a
+    ~100M-row intermediate that distinct() then crushes, while the
+    delta chain peaks at |delta|×fanout ≈ 1M. Rounds equal graph
+    diameter, but any diameter-D digraph has ≥ D(D+1)/2 reachable
+    pairs, so rounds ≤ √(2·output) — the loop is output-bounded, and
+    each round is stats_barrier'd against the Catalyst BigInt-stats
+    squaring trap (see session.stats_barrier)."""
     from ..session import stats_barrier
 
+    right = edges.select(F.col("_ps").alias("_m"),
+                         F.col("_po").alias("_pe"))
     paths = stats_barrier(edges)
-    n = paths.count()
+    delta = paths
     while True:
-        right = paths.select(F.col("_ps").alias("_m"),
-                             F.col("_po").alias("_pe"))
-        ext = (paths.join(right, paths["_po"] == right["_m"])
-               .select("_ps", F.col("_pe").alias("_po")))
-        paths = stats_barrier(paths.unionByName(ext).distinct())
-        m = paths.count()
-        if m == n:
+        ext = (delta.join(right, delta["_po"] == right["_m"])
+               .select("_ps", F.col("_pe").alias("_po")).distinct())
+        new = stats_barrier(ext.join(paths, ["_ps", "_po"], "left_anti"))
+        if new.isEmpty():
             return paths
-        n = m
+        paths = stats_barrier(paths.unionByName(new))
+        delta = new
 
 
 def _union_frame(triples: DataFrame, u: _Union, idx) -> tuple:
