@@ -14,8 +14,10 @@ attachment, string filters, order/limit.
 Supported grammar (case-insensitive keywords)::
 
     SELECT [DISTINCT] (?v ... | *)
-    SELECT ?g ... (COUNT([DISTINCT] ?v | *) AS ?a) ...   -- aggregates:
-                                           -- COUNT / MIN / MAX (§18.5)
+    SELECT ?g ... (COUNT([DISTINCT] ?v | *) AS ?a) ...   -- aggregates
+      -- (§18.5): COUNT / MIN / MAX / SAMPLE (deterministic: = MIN)
+      -- / GROUP_CONCAT(?v [; SEPARATOR = "s"]) (deterministic:
+      -- values sorted; default separator " ")
     WHERE { pattern [.] pattern ... }
     [GROUP BY ?g ...]
     [ORDER BY (?v | DESC(?v)) ...] [LIMIT n]
@@ -84,8 +86,8 @@ _TOKEN_RE = re.compile(
       | (?P<iri><[^>]*>)
       | (?P<lit>"(?:[^"\\]|\\.)*")
       | (?P<num>\d+)
-      | (?P<word>[A-Za-z][A-Za-z]*)
-      | (?P<punct>[{}().,+|^]|!=|=|\*)
+      | (?P<word>[A-Za-z][A-Za-z_]*)
+      | (?P<punct>[{}().,+|^;]|!=|=|\*)
     )""", re.VERBOSE)
 
 _STR_FUNCS = {"REGEX", "CONTAINS", "STRSTARTS"}
@@ -436,11 +438,12 @@ def _parse_template(ts: _Tokens, base: str) -> list:
                                   for _ in range(3))))
 
 
-_AGG_FUNCS = ("COUNT", "MIN", "MAX")
+_AGG_FUNCS = ("COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
 
 
 def _parse_agg(ts: _Tokens):
-    """``(COUNT([DISTINCT] ?v|*) AS ?alias)`` — outer '(' consumed."""
+    """``(COUNT([DISTINCT] ?v|*) AS ?alias)`` — outer '(' consumed.
+    GROUP_CONCAT takes an optional ``; SEPARATOR = "s"`` tail."""
     func = ts.expect(*_AGG_FUNCS)
     ts.expect("(")
     distinct = False
@@ -457,13 +460,24 @@ def _parse_agg(ts: _Tokens):
         raise SparqlError(f"{func} needs a variable argument"
                           + (" (or * for plain COUNT)"
                              if func == "COUNT" else ""))
+    sep = " " if func == "GROUP_CONCAT" else None
+    if ts.peek() == ("punct", ";"):
+        if func != "GROUP_CONCAT":
+            raise SparqlError("only GROUP_CONCAT takes a SEPARATOR")
+        ts.next()
+        ts.expect("SEPARATOR")
+        ts.expect("=")
+        s = ts.next()
+        if s[0] != "lit":
+            raise SparqlError("SEPARATOR needs a string literal")
+        sep = _term(s, "")[1]
     ts.expect(")")
     ts.expect("AS")
     alias = ts.next()
     if alias[0] != "var":
         raise SparqlError("aggregate alias must be a variable")
     ts.expect(")")
-    return (func, arg, distinct, alias[1][1:])
+    return (func, arg, distinct, alias[1][1:], sep)
 
 
 def parse(query: str, base: str = DEFAULT_BASE) -> _Query:
@@ -562,7 +576,7 @@ def _validate(q: _Query):
         aliases = [a[3] for a in q.aggs]
         if len(set(aliases)) != len(aliases):
             raise SparqlError("duplicate aggregate alias")
-        for func, arg, _, alias in q.aggs:
+        for func, arg, _, alias, _sep in q.aggs:
             if alias in bound:
                 raise SparqlError(
                     f"aggregate alias ?{alias} collides with a pattern "
@@ -699,7 +713,9 @@ def _bfs(edges: DataFrame, seed: str, forward: bool) -> DataFrame:
             edges.join(frontier.withColumnRenamed("_n", src), src)
             .select(F.col(dst).alias("_n")).distinct()
             .join(acc, "_n", "left_anti"))
-        acc = stats_barrier(acc.unionByName(step).distinct())
+        # step is anti-joined against acc, so the union is distinct
+        # by construction — no re-distinct of the whole reached set
+        acc = stats_barrier(acc.unionByName(step))
         frontier = step
     return acc
 
@@ -856,15 +872,25 @@ def _construct(solutions: DataFrame, templates: list) -> DataFrame:
     return acc.distinct()
 
 
-def _agg_expr(func: str, arg: str, distinct: bool):
+def _agg_expr(func: str, arg: str, distinct: bool, sep):
     """One aggregate spec → an unaliased Column expression."""
     if arg == "*":
         return F.count(F.lit(1))
     if func == "COUNT" and distinct:
         return F.count_distinct(F.col(arg))
-    # MIN/MAX are DISTINCT-insensitive (SPARQL §18.5.1.5)
-    return {"COUNT": F.count, "MIN": F.min, "MAX": F.max}[func](
-        F.col(arg))
+    if func == "GROUP_CONCAT":
+        # deterministic instance of §18.5.1.7: values sorted before
+        # joining (collect order is partition-dependent otherwise);
+        # a group with zero bound values yields NULL like SQL
+        # string_agg, not ""
+        arr = F.array_sort(F.collect_set(F.col(arg)) if distinct
+                           else F.collect_list(F.col(arg)))
+        return F.when(F.size(arr) == 0, F.lit(None)) \
+            .otherwise(F.array_join(arr, sep))
+    # MIN/MAX are DISTINCT-insensitive (§18.5.1.5); SAMPLE returns an
+    # implementation-chosen value — pinned to MIN for determinism
+    return {"COUNT": F.count, "MIN": F.min, "MAX": F.max,
+            "SAMPLE": F.min}[func](F.col(arg))
 
 
 def compile_bgp(triples: DataFrame, q: _Query) -> DataFrame:
@@ -875,8 +901,8 @@ def compile_bgp(triples: DataFrame, q: _Query) -> DataFrame:
         # one partial-aggregated shuffle on the group keys; an empty
         # GROUP BY is the single-group global aggregate
         acc = acc.groupBy(*q.group).agg(
-            *[_agg_expr(f, a, d).alias(alias)
-              for f, a, d, alias in q.aggs]).select(*q.select)
+            *[_agg_expr(f, a, d, sep).alias(alias)
+              for f, a, d, alias, sep in q.aggs]).select(*q.select)
     else:
         out_cols = sorted(bound) if q.select == ["*"] else q.select
         acc = acc.select(*out_cols)
@@ -1016,11 +1042,18 @@ def to_sql(q: _Query, table: str = "triples") -> str:
 
     if q.aggs:
         agg_sql = {}
-        for func, arg, distinct, alias in q.aggs:
+        for func, arg, distinct, alias, sep in q.aggs:
+            if func == "GROUP_CONCAT":
+                col = aliases[arg]
+                d = "DISTINCT " if distinct else ""
+                agg_sql[alias] = (f"string_agg({d}{col}, {_sql_str(sep)} "
+                                  f"ORDER BY {col})")
+                continue
+            sql_func = "MIN" if func == "SAMPLE" else func
             inner = ("*" if arg == "*"
                      else ("DISTINCT " if distinct and func == "COUNT"
                            else "") + aliases[arg])
-            agg_sql[alias] = f"{func}({inner})"
+            agg_sql[alias] = f"{sql_func}({inner})"
         sel = ", ".join(
             f"{agg_sql.get(v, aliases.get(v))} AS {v}" for v in q.select)
         sql = f"{with_clause}SELECT {sel} {frm}"

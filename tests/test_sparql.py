@@ -464,6 +464,36 @@ def test_agg_group_var_not_selected(triples):
     assert got == [(1,), (2,)]
 
 
+def test_group_concat_and_sample(triples):
+    got = run(triples, '''
+        SELECT ?s (GROUP_CONCAT(?o) AS ?objs) (SAMPLE(?o) AS ?one)
+        WHERE { ?s "infect" ?o } GROUP BY ?s''')
+    assert got == [("ebola", "cell host", "cell"),
+                   ("virus x", "cell", "cell")]
+
+
+def test_group_concat_separator_distinct_and_duplicates(triples):
+    # UNION duplicates every row: plain GROUP_CONCAT keeps both
+    # copies, DISTINCT collapses them; custom separator applies
+    got = run(triples, '''
+        SELECT ?s (GROUP_CONCAT(?o) AS ?all)
+               (GROUP_CONCAT(DISTINCT ?o ; SEPARATOR = ", ") AS ?uniq)
+        WHERE { { ?s "infect" ?o } UNION { ?s "infect" ?o } }
+        GROUP BY ?s''')
+    assert got == [("ebola", "cell cell host host", "cell, host"),
+                   ("virus x", "cell cell", "cell")]
+
+
+def test_group_concat_empty_group_is_null(triples):
+    # genome contains nothing: zero bound ?g in the group → NULL
+    # (matching SQL string_agg), not ""
+    got = run(triples, '''
+        SELECT ?s (GROUP_CONCAT(?g) AS ?c) WHERE {
+            ?s "mutate" ?o . OPTIONAL { ?o "contain" ?g } }
+        GROUP BY ?s''')
+    assert got == [("virus x", None)]
+
+
 def test_agg_parse_and_validate_errors(triples):
     bad = [
         # ungrouped plain variable alongside an aggregate
@@ -492,6 +522,12 @@ def test_agg_parse_and_validate_errors(triples):
         # ORDER BY a non-output variable of an aggregate query
         ('SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s '
          'ORDER BY ?o'),
+        # SEPARATOR on a non-GROUP_CONCAT aggregate
+        ('SELECT (COUNT(?o) ; SEPARATOR = "x" AS ?n) '
+         'WHERE { ?s ?p ?o }'),
+        # SEPARATOR must be a string literal
+        ('SELECT (GROUP_CONCAT(?o ; SEPARATOR = ?s) AS ?c) '
+         'WHERE { ?s ?p ?o } GROUP BY ?s'),
     ]
     for q in bad:
         with pytest.raises(S.SparqlError):
@@ -543,6 +579,13 @@ TWIN_QUERIES = [
      'FILTER NOT EXISTS { ?o "contain" ?g } } GROUP BY ?s'),
     ('SELECT ?s ?o WHERE { ?s "infect"|"mutate" ?o '
      'MINUS { ?x "contain" ?o } }'),
+    ('SELECT ?s (GROUP_CONCAT(?o) AS ?objs) (SAMPLE(?o) AS ?one) '
+     'WHERE { ?s "infect"|"contain" ?o } GROUP BY ?s'),
+    ('SELECT ?s (GROUP_CONCAT(DISTINCT ?o ; SEPARATOR = "|") AS ?u) '
+     'WHERE { { ?s "infect" ?o } UNION { ?s "infect" ?o } } '
+     'GROUP BY ?s'),
+    ('SELECT ?s (GROUP_CONCAT(?g) AS ?c) WHERE { ?s "mutate" ?o . '
+     'OPTIONAL { ?o "contain" ?g } } GROUP BY ?s'),
 ]
 
 
