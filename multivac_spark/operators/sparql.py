@@ -26,6 +26,13 @@ Supported grammar (case-insensitive keywords)::
     WHERE { pattern [.] pattern ... }      -- (rule/enrichment form;
                                            --  output is a triple SET)
 
+    ASK [WHERE] { pattern ... }            -- one boolean row `ask`:
+                                           --  does any solution exist
+    DESCRIBE (?v | <iri>)+ [WHERE { pattern ... }]
+        -- all triples whose subject or object is a described
+        -- resource (the one-step CBD convention, §16.4 leaves the
+        -- form implementation-defined); output is a triple SET
+
     pattern  := term pred term           -- triple pattern
               | { pattern ... } UNION { pattern ... } [UNION ...]
               | OPTIONAL { pattern ... } -- left join
@@ -147,6 +154,8 @@ class _Query:
     group: list = None   # GROUP BY variable names
     values: list = None  # (var-name tuple, rows) inline-data blocks
     exists: list = None  # (branch _Patterns, positive) semi/anti blocks
+    ask: bool = False          # ASK form: project one boolean row
+    describe: list = None      # DESCRIBE form: ("var"|"const", name) terms
 
 
 @dataclass
@@ -482,13 +491,22 @@ def _parse_agg(ts: _Tokens):
 
 def parse(query: str, base: str = DEFAULT_BASE) -> _Query:
     ts = _tokenize(query)
-    form = ts.expect("SELECT", "CONSTRUCT")
+    form = ts.expect("SELECT", "CONSTRUCT", "ASK", "DESCRIBE")
     distinct = False
     construct = None
+    describe = None
     select = []
     aggs = []
     if form == "CONSTRUCT":
         construct = _parse_template(ts, base)
+    elif form == "ASK":
+        pass  # no projection clause
+    elif form == "DESCRIBE":
+        describe = []
+        while ts.peek() is not None and ts.peek()[0] in ("var", "iri"):
+            describe.append(_term(ts.next(), base))
+        if not describe:
+            raise SparqlError("DESCRIBE needs at least one ?var or <iri>")
     else:
         if ts.peek() and ts.peek()[0] == "word" \
                 and ts.peek()[1].upper() == "DISTINCT":
@@ -510,10 +528,22 @@ def parse(query: str, base: str = DEFAULT_BASE) -> _Query:
         if aggs and distinct:
             raise SparqlError("SELECT DISTINCT with aggregates is not "
                               "supported")
-    ts.expect("WHERE")
+    # WHERE is optional before the group for ASK (§17: ASK
+    # WhereClause), and the whole clause is optional for a
+    # ground-resource DESCRIBE
+    if form == "ASK":
+        if ts.peek() is not None and ts.peek()[0] == "word" \
+                and ts.peek()[1].upper() == "WHERE":
+            ts.next()
+    elif form == "DESCRIBE":
+        if ts.peek() is not None and ts.peek()[0] == "word":
+            ts.expect("WHERE")
+    else:
+        ts.expect("WHERE")
     q = _Query(select, distinct, [], [], [], None, construct,
-               aggs, [], [], [])
-    _parse_group(ts, base, q, optional=False)
+               aggs, [], [], [], ask=(form == "ASK"), describe=describe)
+    if form != "DESCRIBE" or ts.peek() is not None:
+        _parse_group(ts, base, q, optional=False)
     if construct is not None and ts.peek() is not None:
         # the triple SET a CONSTRUCT emits is unordered, so ORDER/LIMIT
         # would be nondeterministic — rejected rather than surprising
@@ -558,6 +588,16 @@ def parse(query: str, base: str = DEFAULT_BASE) -> _Query:
 
 
 def _validate(q: _Query):
+    if q.ask or q.describe is not None:
+        if q.order or q.limit is not None or q.group:
+            raise SparqlError(
+                "ASK/DESCRIBE do not take solution modifiers")
+    if q.describe is not None and not q.patterns:
+        # ground-resource DESCRIBE needs no WHERE clause at all
+        if any(k == "var" for k, _ in q.describe):
+            raise SparqlError(
+                "DESCRIBE of a variable needs a WHERE clause binding it")
+        return
     if not q.patterns:
         raise SparqlError("empty WHERE clause")
     bound = set().union(*(p.vars for p in q.patterns))
@@ -566,6 +606,12 @@ def _validate(q: _Query):
         not p.optional for p in q.patterns) else set()
     if not required:
         raise SparqlError("WHERE needs at least one non-OPTIONAL pattern")
+    if q.describe is not None:
+        missing = sorted(n for k, n in q.describe
+                         if k == "var" and n not in bound)
+        if missing:
+            raise SparqlError(
+                f"DESCRIBE of unbound variable(s): {missing}")
     if q.construct is not None:
         missing = sorted(set().union(*(p.vars for p in q.construct))
                          - bound)
@@ -893,8 +939,43 @@ def _agg_expr(func: str, arg: str, distinct: bool, sep):
             "SAMPLE": F.min}[func](F.col(arg))
 
 
+def _describe(triples: DataFrame, q: _Query) -> DataFrame:
+    """DESCRIBE → the triple set touching any described resource.
+
+    The resource set is tiny by construction (explicit IRIs and/or the
+    distinct bindings of the described variables), so it broadcasts
+    and each side of the union is a broadcast semi-join against the
+    full triples scan — no shuffle of the edge table at any scale."""
+    triples = triples.select(*_POSITIONS)
+    ground = [n for k, n in q.describe if k == "const"]
+    var_names = [n for k, n in q.describe if k == "var"]
+    res = None
+    if ground:
+        res = triples.sparkSession.createDataFrame(
+            [(g,) for g in ground], "_res string")
+    if var_names:
+        sols, _ = _solve(triples, q)
+        for v in var_names:
+            vf = (sols.select(F.col(v).alias("_res"))
+                  .filter(F.col("_res").isNotNull()))
+            res = vf if res is None else res.unionByName(vf)
+    res = F.broadcast(res.distinct())
+    by_subj = triples.join(res, triples["subj"] == res["_res"],
+                           "left_semi")
+    by_obj = triples.join(res, triples["obj"] == res["_res"],
+                          "left_semi")
+    return by_subj.unionAll(by_obj).distinct()
+
+
 def compile_bgp(triples: DataFrame, q: _Query) -> DataFrame:
+    if q.describe is not None:
+        return _describe(triples, q)
     acc, bound = _solve(triples, q)
+    if q.ask:
+        # limit(1) short-circuits the scan; the global aggregate turns
+        # presence/absence into exactly one boolean row either way
+        return (acc.select(F.lit(1).alias("_x")).limit(1)
+                .agg((F.count("_x") > 0).alias("ask")))
     if q.construct is not None:
         return _construct(acc, q.construct)
     if q.aggs:
@@ -1021,6 +1102,22 @@ def to_sql(q: _Query, table: str = "triples") -> str:
     where = " AND ".join(conds + filt_parts) or "TRUE"
     frm = f"FROM {' '.join(joins)} WHERE {where}"
     with_clause = f"WITH RECURSIVE {', '.join(ctes)} " if ctes else ""
+
+    if q.ask:
+        return f"{with_clause}SELECT EXISTS (SELECT 1 {frm}) AS ask"
+
+    if q.describe is not None:
+        parts = []
+        ground = [n for k, n in q.describe if k == "const"]
+        if ground:
+            vals = ", ".join(f"({_sql_str(g)})" for g in ground)
+            parts.append(f"SELECT * FROM (VALUES {vals}) g(_res)")
+        parts += [f"SELECT {aliases[n]} AS _res {frm}"
+                  for k, n in q.describe if k == "var"]
+        res = " UNION ".join(parts)
+        return (f"{with_clause}SELECT DISTINCT d.subj AS subj, "
+                f"d.pred AS pred, d.obj AS obj FROM {table} d "
+                f"WHERE d.subj IN ({res}) OR d.obj IN ({res})")
 
     if q.construct is not None:
         # one SELECT per template pattern; UNION (not UNION ALL)

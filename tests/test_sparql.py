@@ -494,6 +494,48 @@ def test_group_concat_empty_group_is_null(triples):
     assert got == [("virus x", None)]
 
 
+def test_ask_true_and_false(triples):
+    assert run(triples, 'ASK { ?s "infect" "host" }') == [(True,)]
+    assert run(triples, 'ASK WHERE { ?s "encode" "cell" }') == [(False,)]
+
+
+def test_describe_ground_resource_no_where(triples):
+    got = run(triples, f'DESCRIBE <{S.DEFAULT_BASE}cell>')
+    assert got == srt([("cell", "contain", "genome"),
+                       ("ebola", "infect", "cell"),
+                       ("host", "contain", "cell"),
+                       ("virus x", "infect", "cell")])
+
+
+def test_describe_variable_with_where(triples):
+    got = run(triples, 'DESCRIBE ?x WHERE { ?x "mutate" ?g }')
+    assert got == srt([("virus x", "infect", "cell"),
+                       ("virus x", "mutate", "genome")])
+
+
+def test_describe_mixed_var_and_iri(triples):
+    got = run(triples, 'DESCRIBE ?g <' + S.DEFAULT_BASE + 'host> '
+                       'WHERE { ?s "mutate" ?g }')
+    assert got == srt([("cell", "contain", "genome"),
+                       ("ebola", "infect", "host"),
+                       ("genome", "encode", "protein"),
+                       ("host", "contain", "cell"),
+                       ("virus x", "mutate", "genome")])
+
+
+def test_ask_describe_errors(triples):
+    bad = [
+        'ASK { ?s ?p ?o } LIMIT 2',          # no solution modifiers
+        'DESCRIBE ?x WHERE { ?x ?p ?o } ORDER BY ?x',
+        'DESCRIBE',                          # needs at least one term
+        'DESCRIBE ?x',                       # var needs a WHERE clause
+        'DESCRIBE ?x WHERE { ?y ?p ?o }',    # var unbound in WHERE
+    ]
+    for q in bad:
+        with pytest.raises(S.SparqlError):
+            S.sparql(triples, q)
+
+
 def test_agg_parse_and_validate_errors(triples):
     bad = [
         # ungrouped plain variable alongside an aggregate
@@ -586,6 +628,11 @@ TWIN_QUERIES = [
      'GROUP BY ?s'),
     ('SELECT ?s (GROUP_CONCAT(?g) AS ?c) WHERE { ?s "mutate" ?o . '
      'OPTIONAL { ?o "contain" ?g } } GROUP BY ?s'),
+    'ASK { ?s "infect" ?o . ?o "contain" ?g }',
+    'ASK WHERE { ?s "encode" "cell" }',
+    'DESCRIBE <' + S.DEFAULT_BASE + 'cell>',
+    'DESCRIBE ?x WHERE { ?x "mutate" ?g }',
+    'DESCRIBE ?g <' + S.DEFAULT_BASE + 'host> WHERE { ?s "mutate" ?g }',
 ]
 
 
