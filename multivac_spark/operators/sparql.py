@@ -35,7 +35,9 @@ Supported grammar (case-insensitive keywords)::
 
     pattern  := term pred term           -- triple pattern
               | { pattern ... } UNION { pattern ... } [UNION ...]
-              | OPTIONAL { pattern ... } -- left join
+              | OPTIONAL { pattern ... [FILTER (cond)] ... }
+                -- left join of the group as ONE unit; FILTERs inside
+                -- the braces scope to the group (§6.1 LeftJoin)
               | FILTER ( cond )
               | MINUS { pattern ... }    -- anti-join (§8.3)
               | FILTER [NOT] EXISTS { pattern ... }  -- semi/anti-join
@@ -60,7 +62,13 @@ Compilation is Spark-first and fully declarative:
   to AQE to re-plan at runtime; a pattern sharing no variable with
   the accumulated join is the cartesian SPARQL semantics require and
   compiles to ``crossJoin`` (caller beware, as in any engine);
-* OPTIONAL blocks compile to left joins after all required patterns;
+* each OPTIONAL group compiles to ONE left join after all required
+  patterns: its patterns inner-join first and its scoped FILTERs
+  narrow that frame before the join, so a partially-matching or
+  filtered-out group leaves the left row intact with every group
+  variable unbound — exact §6.1 LeftJoin semantics (group-level
+  FILTERs written outside the braces still apply to the whole
+  solution afterwards);
 * MINUS / FILTER NOT EXISTS compile to ``left_anti`` joins and FILTER
   EXISTS to ``left_semi`` — the blocks must share ≥1 required-bound
   variable, so the equi-join matches SPARQL's compatibility rule
@@ -156,6 +164,7 @@ class _Query:
     exists: list = None  # (branch _Patterns, positive) semi/anti blocks
     ask: bool = False          # ASK form: project one boolean row
     describe: list = None      # DESCRIBE form: ("var"|"const", name) terms
+    optionals: list = None     # OPTIONAL groups: (patterns, filters)
 
 
 @dataclass
@@ -367,7 +376,16 @@ def _parse_group(ts: _Tokens, base: str, q: _Query, optional: bool):
             if optional:
                 raise SparqlError("nested OPTIONAL is not supported")
             ts.next()
-            _parse_group(ts, base, q, optional=True)
+            # parse the group into its own container: the patterns
+            # join as ONE unit and FILTERs written inside the braces
+            # scope to the group (SPARQL §6.1 LeftJoin), unlike
+            # group-level filters which apply to the whole solution
+            sub = _Query([], False, [], [], [], None, aggs=[],
+                         group=[], values=[], exists=[], optionals=[])
+            _parse_group(ts, base, sub, optional=True)
+            if not sub.patterns:
+                raise SparqlError("empty OPTIONAL group")
+            q.optionals.append((sub.patterns, sub.filters))
             continue
         if t[0] == "word" and t[1].upper() == "FILTER":
             ts.next()
@@ -541,7 +559,8 @@ def parse(query: str, base: str = DEFAULT_BASE) -> _Query:
     else:
         ts.expect("WHERE")
     q = _Query(select, distinct, [], [], [], None, construct,
-               aggs, [], [], [], ask=(form == "ASK"), describe=describe)
+               aggs, [], [], [], ask=(form == "ASK"), describe=describe,
+               optionals=[])
     if form != "DESCRIBE" or ts.peek() is not None:
         _parse_group(ts, base, q, optional=False)
     if construct is not None and ts.peek() is not None:
@@ -592,20 +611,40 @@ def _validate(q: _Query):
         if q.order or q.limit is not None or q.group:
             raise SparqlError(
                 "ASK/DESCRIBE do not take solution modifiers")
-    if q.describe is not None and not q.patterns:
+    if q.describe is not None and not q.patterns and not q.optionals:
         # ground-resource DESCRIBE needs no WHERE clause at all
         if any(k == "var" for k, _ in q.describe):
             raise SparqlError(
                 "DESCRIBE of a variable needs a WHERE clause binding it")
         return
     if not q.patterns:
+        if q.optionals:
+            raise SparqlError(
+                "WHERE needs at least one non-OPTIONAL pattern")
         raise SparqlError("empty WHERE clause")
-    bound = set().union(*(p.vars for p in q.patterns))
-    required = set().union(*(p.vars for p in q.patterns
-                             if not p.optional)) if any(
-        not p.optional for p in q.patterns) else set()
-    if not required:
-        raise SparqlError("WHERE needs at least one non-OPTIONAL pattern")
+    required = set().union(*(p.vars for p in q.patterns))
+    bound = set(required)
+    seen_opt = set()
+    for pats, filts in q.optionals or []:
+        gvars = set().union(*(p.vars for p in pats))
+        if not gvars & required:
+            raise SparqlError(
+                "OPTIONAL pattern shares no variable with the required "
+                "patterns")
+        if gvars & seen_opt:
+            # a var bound by two OPTIONAL groups can be NULL on either
+            # side, where SPARQL's compatibility rule and an equi-join
+            # diverge — rejected rather than silently wrong
+            raise SparqlError(
+                "OPTIONAL groups may not share variables with each "
+                f"other (got {sorted(gvars & seen_opt)})")
+        for _, var, _ in filts:
+            if var not in gvars:
+                raise SparqlError(
+                    "FILTER inside OPTIONAL may only use variables "
+                    f"bound in that group (?{var})")
+        seen_opt |= gvars - required
+        bound |= gvars
     if q.describe is not None:
         missing = sorted(n for k, n in q.describe
                          if k == "var" and n not in bound)
@@ -833,36 +872,33 @@ def _scan_any(triples: DataFrame, p, idx) -> tuple:
 def _solve(triples: DataFrame, q: _Query) -> tuple:
     """Join + filter phase shared by SELECT and CONSTRUCT: returns the
     solution frame (one column per bound variable) and the var set."""
-    required = [p for p in q.patterns if not p.optional]
-    optional = [p for p in q.patterns if p.optional]
+    required = list(q.patterns)
     # most-constants-first: ground/selective patterns shrink the join
     # early; AQE re-plans the rest at runtime. Path patterns go last —
     # their pair sets are closure-sized, not scan-sized.
     required.sort(key=lambda p: (p.path, -p.n_const))
 
     acc, bound = _scan_any(triples, required[0], 0)
-    for i, p in enumerate(required[1:] + optional, start=1):
+    for i, p in enumerate(required[1:], start=1):
         frame, pvars = _scan_any(triples, p, i)
         on = sorted(bound & pvars)
-        how = "left" if p.optional else "inner"
-        if on:
-            acc = acc.join(frame, on=on, how=how)
-        elif p.optional:
-            raise SparqlError(
-                "OPTIONAL pattern shares no variable with the required "
-                "patterns")
-        else:
-            acc = acc.crossJoin(frame)
+        acc = acc.join(frame, on=on) if on else acc.crossJoin(frame)
         bound |= pvars
 
+    # each OPTIONAL group joins as ONE unit (its patterns inner-join
+    # first, its scoped FILTERs narrow that frame pre-join — the
+    # SPARQL §6.1 LeftJoin: unmatched/filtered-out rows keep the left
+    # row with the group's variables unbound)
+    for i, (pats, filts) in enumerate(q.optionals or []):
+        frame, gvars = _branch_frame(triples, pats, f"o{i}")
+        for kind, var, value in filts:
+            frame = frame.filter(_filter_cond(kind, var, value))
+        on = sorted(bound & gvars)
+        acc = acc.join(frame, on=on, how="left")
+        bound |= gvars
+
     for kind, var, value in q.filters:
-        c = F.col(var)
-        cond = {"=": lambda: c == value,
-                "!=": lambda: c != value,
-                "REGEX": lambda: c.rlike(value),
-                "CONTAINS": lambda: c.contains(value),
-                "STRSTARTS": lambda: c.startswith(value)}[kind]()
-        acc = acc.filter(cond)
+        acc = acc.filter(_filter_cond(kind, var, value))
     for names, rows in q.values or []:
         if len(names) == 1:
             acc = acc.filter(F.col(names[0]).isin(
@@ -882,6 +918,15 @@ def _solve(triples: DataFrame, q: _Query) -> tuple:
         acc = acc.join(frame.select(*on),
                        on=on, how="left_semi" if positive else "left_anti")
     return acc, bound
+
+
+def _filter_cond(kind, var, value):
+    c = F.col(var)
+    return {"=": lambda: c == value,
+            "!=": lambda: c != value,
+            "REGEX": lambda: c.rlike(value),
+            "CONTAINS": lambda: c.contains(value),
+            "STRSTARTS": lambda: c.startswith(value)}[kind]()
 
 
 def _all_of(conds):
@@ -1009,12 +1054,12 @@ def to_sql(q: _Query, table: str = "triples") -> str:
     ``oracle_sql`` body). Compiled structurally from the parsed form,
     NOT via Spark, so the two executions share only the parser.
 
-    Required patterns come first (textual order) and OPTIONAL blocks
-    after — the same evaluation order ``compile_bgp`` uses — so a
-    variable bound by both sides aliases to the required (non-NULL)
-    column, matching Spark's left-join column resolution."""
-    ordered = ([p for p in q.patterns if not p.optional]
-               + [p for p in q.patterns if p.optional])
+    Required patterns come first (textual order) and OPTIONAL groups
+    after as LEFT JOINs of derived tables — the same evaluation order
+    ``compile_bgp`` uses — so a variable bound by both sides aliases
+    to the required (non-NULL) column, matching Spark's left-join
+    column resolution."""
+    ordered = list(q.patterns)
     joins = []
     conds = []
     filt_parts = []
@@ -1067,23 +1112,27 @@ def to_sql(q: _Query, table: str = "triples") -> str:
                 seen_vars[name] = f"{t}.{pos}"
         if i == 0:
             joins.append(f"{tbl} {t}")
-            conds += local_conds
-        elif p.optional:
-            on = " AND ".join(local_conds) or "TRUE"
-            joins.append(f"LEFT JOIN {tbl} {t} ON {on}")
         else:
             joins.append(f"CROSS JOIN {tbl} {t}")
-            conds += local_conds
+        conds += local_conds
+    for gi, (pats, filts) in enumerate(q.optionals or []):
+        # one derived table per OPTIONAL group: the group's patterns
+        # inner-join and its scoped FILTERs apply INSIDE the
+        # sub-select, then the whole unit left-joins on the shared
+        # variables — mirroring the Spark _branch_frame + left join
+        t = f"o{gi}"
+        sub, sub_vars = _group_sql(pats, filts, table, t, ctes)
+        local = []
+        for v in sub_vars:
+            if v in seen_vars:
+                local.append(f"{t}.{v} = {seen_vars[v]}")
+            else:
+                seen_vars[v] = f"{t}.{v}"
+        joins.append(f"LEFT JOIN ({sub}) {t} ON "
+                     + (" AND ".join(local) or "TRUE"))
     aliases = seen_vars
     for kind, var, value in q.filters:
-        v = aliases[var]
-        s = _sql_str(value)
-        filt_parts.append({
-            "=": f"{v} = {s}",
-            "!=": f"{v} <> {s}",
-            "REGEX": f"regexp_matches({v}, {s})",
-            "CONTAINS": f"contains({v}, {s})",
-            "STRSTARTS": f"starts_with({v}, {s})"}[kind])
+        filt_parts.append(_filter_sql(kind, aliases[var], value))
     for names, rows in q.values or []:
         if len(names) == 1:
             vals = ", ".join(_sql_str(r[0]) for r in rows)
@@ -1204,6 +1253,55 @@ def _branch_sql(patterns: list, table: str, prefix: str,
     return f"SELECT {sel} {frm}"
 
 
+
+
+def _group_sql(patterns: list, filters: list, table: str, prefix: str,
+               ctes: list) -> tuple:
+    """An OPTIONAL group → (flat SELECT of its variables with the
+    scoped filters applied inside, sorted var list). Path patterns
+    append their recursive CTE to ``ctes`` (the WITH clause covers the
+    whole statement, so derived tables may reference it)."""
+    joins, conds, seen = [], [], {}
+    for k, p in enumerate(patterns):
+        t = f"{prefix}_{k}"
+        if p.path:
+            cte = f"path_{prefix}_{k}"
+            ps = _sql_str(p.terms[1][1])
+            ctes.append(
+                f"{cte}(s, o) AS ("
+                f"SELECT subj, obj FROM {table} WHERE pred = {ps} "
+                f"UNION SELECT r.s, e.obj FROM {cte} r "
+                f"JOIN {table} e ON e.subj = r.o AND e.pred = {ps})")
+            tbl = cte
+            pos_terms = list(zip(("s", "o"), (p.terms[0], p.terms[2])))
+        else:
+            tbl = table
+            pos_terms = list(zip(_POSITIONS, p.terms))
+        joins.append(f"{tbl} {t}" if k == 0 else f"CROSS JOIN {tbl} {t}")
+        for pos, (kind, name) in pos_terms:
+            if kind == "const":
+                conds.append(f"{t}.{pos} = {_sql_str(name)}")
+            elif kind == "alt":
+                vals = ", ".join(_sql_str(v) for v in name)
+                conds.append(f"{t}.{pos} IN ({vals})")
+            elif name in seen:
+                conds.append(f"{t}.{pos} = {seen[name]}")
+            else:
+                seen[name] = f"{t}.{pos}"
+    for kind, var, value in filters:
+        conds.append(_filter_sql(kind, seen[var], value))
+    frm = f"FROM {' '.join(joins)} WHERE {' AND '.join(conds) or 'TRUE'}"
+    sel = ", ".join(f"{seen[v]} AS {v}" for v in sorted(seen))
+    return f"SELECT {sel} {frm}", sorted(seen)
+
+
+def _filter_sql(kind: str, v: str, value: str) -> str:
+    s = _sql_str(value)
+    return {"=": f"{v} = {s}",
+            "!=": f"{v} <> {s}",
+            "REGEX": f"regexp_matches({v}, {s})",
+            "CONTAINS": f"contains({v}, {s})",
+            "STRSTARTS": f"starts_with({v}, {s})"}[kind]
 
 
 def _order_sql(v: str, asc: bool) -> str:

@@ -494,6 +494,52 @@ def test_group_concat_empty_group_is_null(triples):
     assert got == [("virus x", None)]
 
 
+def test_optional_scoped_filter_keeps_unmatched_rows(triples):
+    # the scoped filter rejects the only mutate edge, so EVERY left
+    # row survives with ?g unbound — §6.1 LeftJoin, not a post-join
+    # filter (which would drop the NULL rows too)
+    got = run(triples, '''
+        SELECT ?s ?g WHERE { ?s "infect" ?x .
+            OPTIONAL { ?s "mutate" ?g FILTER(?g != "genome") } }''')
+    assert got == [("ebola", None), ("ebola", None), ("virus x", None)]
+
+
+def test_optional_scoped_filter_selective(triples):
+    got = run(triples, '''
+        SELECT ?s ?g WHERE { ?s "infect" ?x .
+            OPTIONAL { ?s "mutate" ?g FILTER(STRSTARTS(?g, "gen")) } }''')
+    assert got == [("ebola", None), ("ebola", None),
+                   ("virus x", "genome")]
+
+
+def test_optional_group_binds_all_or_nothing(triples):
+    # host→contain→cell→contain→genome completes the 2-pattern group;
+    # cell→contain→genome→contain→∅ does not, so BOTH its variables
+    # stay unbound (sequential per-pattern left joins would have
+    # bound ?g alone)
+    got = run(triples, '''
+        SELECT ?s ?g ?h WHERE { ?s "infect" ?x .
+            OPTIONAL { ?x "contain" ?g . ?g "contain" ?h } }''')
+    assert got == [("ebola", "cell", "genome"), ("ebola", None, None),
+                   ("virus x", None, None)]
+
+
+def test_optional_validation_errors(triples):
+    bad = [
+        # scoped FILTER on a variable not bound inside the group
+        ('SELECT ?s ?g WHERE { ?s "infect" ?x . '
+         'OPTIONAL { ?x "contain" ?g FILTER(?s = "ebola") } }'),
+        # two OPTIONAL groups sharing a variable
+        ('SELECT ?s WHERE { ?s "infect" ?x . '
+         'OPTIONAL { ?s "mutate" ?g } OPTIONAL { ?g "encode" ?p } }'),
+        # empty OPTIONAL group
+        'SELECT ?s WHERE { ?s "infect" ?x . OPTIONAL { } }',
+    ]
+    for q in bad:
+        with pytest.raises(S.SparqlError):
+            S.sparql(triples, q)
+
+
 def test_ask_true_and_false(triples):
     assert run(triples, 'ASK { ?s "infect" "host" }') == [(True,)]
     assert run(triples, 'ASK WHERE { ?s "encode" "cell" }') == [(False,)]
@@ -628,6 +674,12 @@ TWIN_QUERIES = [
      'GROUP BY ?s'),
     ('SELECT ?s (GROUP_CONCAT(?g) AS ?c) WHERE { ?s "mutate" ?o . '
      'OPTIONAL { ?o "contain" ?g } } GROUP BY ?s'),
+    ('SELECT ?s ?g WHERE { ?s "infect" ?x . '
+     'OPTIONAL { ?s "mutate" ?g FILTER(?g != "genome") } }'),
+    ('SELECT ?s ?g ?h WHERE { ?s "infect" ?x . '
+     'OPTIONAL { ?x "contain" ?g . ?g "contain" ?h } }'),
+    ('SELECT ?a ?b WHERE { ?a "infect" ?x . '
+     'OPTIONAL { ?a "mutate"+ ?b } }'),
     'ASK { ?s "infect" ?o . ?o "contain" ?g }',
     'ASK WHERE { ?s "encode" "cell" }',
     'DESCRIBE <' + S.DEFAULT_BASE + 'cell>',
