@@ -45,7 +45,8 @@ Supported grammar (case-insensitive keywords)::
               | VALUES (?v ...) { (const ...) ... }
     pred     := [^]term                  -- ^ = inverse (§9.1)
               | [^]term (| term)...     -- alternation (constants only)
-              | [^]term+                 -- one-or-more property path
+              | [^]term(+|*|?)           -- property path: one-or-more,
+                                         --   zero-or-more, zero-or-one
                                          --   (constant predicate only)
     term     := ?var | <iri> | "literal"
     cond     := ?v = term | ?v != term | REGEX(?v, "re")
@@ -102,7 +103,7 @@ _TOKEN_RE = re.compile(
       | (?P<lit>"(?:[^"\\]|\\.)*")
       | (?P<num>\d+)
       | (?P<word>[A-Za-z][A-Za-z_]*)
-      | (?P<punct>[{}().,+|^;]|!=|=|\*)
+      | (?P<punct>[{}().,+|^;?]|!=|=|\*)
     )""", re.VERBOSE)
 
 _STR_FUNCS = {"REGEX", "CONTAINS", "STRSTARTS"}
@@ -118,7 +119,7 @@ class _Pattern:
     # pairs; "alt" (predicate alternation) appears only at index 1
     terms: tuple
     optional: bool = False
-    path: bool = False  # predicate is <p>+ — one-or-more transitive
+    path: str = None  # "+" | "*" | "?" path modifier, or None
 
     @property
     def vars(self):
@@ -238,16 +239,16 @@ def _parse_pattern(ts: _Tokens, base: str, optional: bool) -> _Pattern:
             raise SparqlError(
                 "predicate alternation needs constant predicates")
         alts.append(alt[1])
-    path = False
-    if ts.peek() == ("punct", "+"):
-        ts.next()
-        path = True
+    path = None
+    if ts.peek() in (("punct", "+"), ("punct", "*"), ("punct", "?")):
+        path = ts.next()[1]
         if alts:
             raise SparqlError(
                 "property path over an alternation is not supported")
         if pred[0] != "const":
             raise SparqlError(
-                "property path needs a constant predicate (<p>+)")
+                "property path needs a constant predicate "
+                f"(<p>{path})")
     if alts:
         pred = ("alt", (pred[1], *alts))
     obj = _term(ts.next(), base)
@@ -756,7 +757,11 @@ def _scan(triples: DataFrame, p: _Pattern, idx: int) -> tuple:
 
 
 def _path_pairs(triples: DataFrame, p: _Pattern) -> DataFrame:
-    """All (``_ps``, ``_po``) pairs connected by ≥1 ``pred`` edges.
+    """All (``_ps``, ``_po``) pairs the path pattern connects:
+    ``<p>+`` = ≥1 edges, ``<p>*`` = that plus the zero-length
+    identity, ``<p>?`` = zero or one edge (§9.1; the zero-length
+    path relates every graph term to itself, and a ground endpoint
+    to itself even off-graph, as in the W3C ZeroLengthPath algebra).
 
     Scale shape: the edge slice is a pushed-down pred filter. A
     ground endpoint turns the closure into a seeded frontier BFS —
@@ -767,21 +772,40 @@ def _path_pairs(triples: DataFrame, p: _Pattern) -> DataFrame:
     doubling) with `stats_barrier` lineage/stats cuts per round (the
     Catalyst BigInt-stats trap documented in session.stats_barrier)."""
     pred = p.terms[1][1]
+    mode = p.path
     edges = (triples.filter(F.col("pred") == pred)
              .select(F.col("subj").alias("_ps"),
                      F.col("obj").alias("_po"))
              .distinct())
     s_kind, s_val = p.terms[0]
     o_kind, o_val = p.terms[2]
-    if s_kind == "const":
-        reach = _bfs(edges, s_val, forward=True)
-        return reach.select(F.lit(s_val).alias("_ps"),
-                            F.col("_n").alias("_po"))
-    if o_kind == "const":
-        reach = _bfs(edges, o_val, forward=False)
+    if s_kind == "const" or o_kind == "const":
+        seed, forward = ((s_val, True) if s_kind == "const"
+                         else (o_val, False))
+        if mode == "?":
+            src, dst = ("_ps", "_po") if forward else ("_po", "_ps")
+            reach = (edges.filter(F.col(src) == seed)
+                     .select(F.col(dst).alias("_n")).distinct())
+        else:
+            reach = _bfs(edges, seed, forward)
+        if mode in ("*", "?"):  # zero-length: the seed matches itself
+            one = triples.sparkSession.createDataFrame(
+                [(seed,)], "_n string")
+            reach = reach.unionByName(one).distinct()
+        if forward:
+            return reach.select(F.lit(seed).alias("_ps"),
+                                F.col("_n").alias("_po"))
         return reach.select(F.col("_n").alias("_ps"),
-                            F.lit(o_val).alias("_po"))
-    return _closure(edges)
+                            F.lit(seed).alias("_po"))
+    if mode == "+":
+        return _closure(edges)
+    base = edges if mode == "?" else _closure(edges)
+    nodes = (triples.select(F.col("subj").alias("_n"))
+             .unionByName(triples.select(F.col("obj").alias("_n")))
+             .distinct())
+    ident = nodes.select(F.col("_n").alias("_ps"),
+                         F.col("_n").alias("_po"))
+    return base.unionByName(ident).distinct()
 
 
 def _bfs(edges: DataFrame, seed: str, forward: bool) -> DataFrame:
@@ -876,7 +900,7 @@ def _solve(triples: DataFrame, q: _Query) -> tuple:
     # most-constants-first: ground/selective patterns shrink the join
     # early; AQE re-plans the rest at runtime. Path patterns go last —
     # their pair sets are closure-sized, not scan-sized.
-    required.sort(key=lambda p: (p.path, -p.n_const))
+    required.sort(key=lambda p: (bool(p.path), -p.n_const))
 
     acc, bound = _scan_any(triples, required[0], 0)
     for i, p in enumerate(required[1:], start=1):
@@ -1085,16 +1109,7 @@ def to_sql(q: _Query, table: str = "triples") -> str:
             conds += local_conds
             continue
         if p.path:
-            # <pred>+ → a recursive CTE computing the same ≥1-hop
-            # reachability pair set the Spark side builds
-            cte = f"path{i}"
-            ps = _sql_str(p.terms[1][1])
-            ctes.append(
-                f"{cte}(s, o) AS ("
-                f"SELECT subj, obj FROM {table} WHERE pred = {ps} "
-                f"UNION SELECT r.s, e.obj FROM {cte} r "
-                f"JOIN {table} e ON e.subj = r.o AND e.pred = {ps})")
-            tbl = cte
+            tbl = _path_tbl(p, table, str(i), ctes)
             pos_terms = list(zip(("s", "o"), (p.terms[0], p.terms[2])))
         else:
             tbl = table
@@ -1265,14 +1280,7 @@ def _group_sql(patterns: list, filters: list, table: str, prefix: str,
     for k, p in enumerate(patterns):
         t = f"{prefix}_{k}"
         if p.path:
-            cte = f"path_{prefix}_{k}"
-            ps = _sql_str(p.terms[1][1])
-            ctes.append(
-                f"{cte}(s, o) AS ("
-                f"SELECT subj, obj FROM {table} WHERE pred = {ps} "
-                f"UNION SELECT r.s, e.obj FROM {cte} r "
-                f"JOIN {table} e ON e.subj = r.o AND e.pred = {ps})")
-            tbl = cte
+            tbl = _path_tbl(p, table, f"_{prefix}_{k}", ctes)
             pos_terms = list(zip(("s", "o"), (p.terms[0], p.terms[2])))
         else:
             tbl = table
@@ -1293,6 +1301,32 @@ def _group_sql(patterns: list, filters: list, table: str, prefix: str,
     frm = f"FROM {' '.join(joins)} WHERE {' AND '.join(conds) or 'TRUE'}"
     sel = ", ".join(f"{seen[v]} AS {v}" for v in sorted(seen))
     return f"SELECT {sel} {frm}", sorted(seen)
+
+
+def _path_tbl(p: "_Pattern", table: str, name: str, ctes: list) -> str:
+    """A path pattern → a table expression with columns (s, o): the
+    ``<p>+`` recursive CTE, and for ``*`` / ``?`` a union with the
+    zero-length identity rows (every graph term, plus any ground
+    endpoint even off-graph — mirroring ``_path_pairs``)."""
+    ps = _sql_str(p.terms[1][1])
+    if p.path == "?":
+        base = f"SELECT subj AS s, obj AS o FROM {table} WHERE pred = {ps}"
+    else:
+        cte = f"path{name}"
+        ctes.append(
+            f"{cte}(s, o) AS ("
+            f"SELECT subj, obj FROM {table} WHERE pred = {ps} "
+            f"UNION SELECT r.s, e.obj FROM {cte} r "
+            f"JOIN {table} e ON e.subj = r.o AND e.pred = {ps})")
+        if p.path == "+":
+            return cte
+        base = f"SELECT s, o FROM {cte}"
+    ident = (f"SELECT n AS s, n AS o FROM (SELECT subj AS n FROM {table} "
+             f"UNION SELECT obj FROM {table}) nn")
+    for kind, term in (p.terms[0], p.terms[2]):
+        if kind == "const":
+            ident += f" UNION SELECT {_sql_str(term)}, {_sql_str(term)}"
+    return f"({base} UNION {ident})"
 
 
 def _filter_sql(kind: str, v: str, value: str) -> str:

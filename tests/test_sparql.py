@@ -540,6 +540,40 @@ def test_optional_validation_errors(triples):
             S.sparql(triples, q)
 
 
+def test_zero_or_more_path_ground_seed(triples):
+    got = run(triples, 'SELECT ?b WHERE { <' + S.DEFAULT_BASE +
+                       'host> "contain"* ?b }')
+    assert got == [("cell",), ("genome",), ("host",)]
+
+
+def test_zero_or_more_path_both_variables(triples):
+    # closure pairs plus the zero-length identity over every graph
+    # term (7 terms; (self,self) is in both)
+    got = run(triples, 'SELECT ?a ?b WHERE { ?a "contain"* ?b }')
+    assert got == srt([("cell", "genome"), ("host", "cell"),
+                       ("host", "genome"), ("self", "self"),
+                       ("cell", "cell"), ("ebola", "ebola"),
+                       ("genome", "genome"), ("host", "host"),
+                       ("protein", "protein"),
+                       ("virus x", "virus x")])
+
+
+def test_zero_or_one_path(triples):
+    got = run(triples, 'SELECT ?b WHERE { <' + S.DEFAULT_BASE +
+                       'ebola> "contain"? ?b }')
+    assert got == [("ebola",)]
+    got = run(triples, 'SELECT ?a ?b WHERE { ?a "contain"? ?b }')
+    assert len(got) == 9  # 3 edges + 7 identities - dup (self,self)
+
+
+def test_star_path_off_graph_seed(triples):
+    # a ground endpoint matches itself by the zero-length path even
+    # when the term appears nowhere in the graph
+    got = run(triples, 'SELECT ?b WHERE { <' + S.DEFAULT_BASE +
+                       'zzz> "contain"* ?b }')
+    assert got == [("zzz",)]
+
+
 def test_ask_true_and_false(triples):
     assert run(triples, 'ASK { ?s "infect" "host" }') == [(True,)]
     assert run(triples, 'ASK WHERE { ?s "encode" "cell" }') == [(False,)]
@@ -680,6 +714,11 @@ TWIN_QUERIES = [
      'OPTIONAL { ?x "contain" ?g . ?g "contain" ?h } }'),
     ('SELECT ?a ?b WHERE { ?a "infect" ?x . '
      'OPTIONAL { ?a "mutate"+ ?b } }'),
+    'SELECT ?a ?b WHERE { ?a "contain"* ?b }',
+    'SELECT ?s ?b WHERE { ?s "infect" ?x . ?x "contain"* ?b }',
+    'SELECT ?a ?b WHERE { ?a "contain"? ?b }',
+    ('SELECT ?b (COUNT(?a) AS ?n) WHERE { ?a "contain"* ?b } '
+     'GROUP BY ?b'),
     'ASK { ?s "infect" ?o . ?o "contain" ?g }',
     'ASK WHERE { ?s "encode" "cell" }',
     'DESCRIBE <' + S.DEFAULT_BASE + 'cell>',
