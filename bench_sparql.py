@@ -39,6 +39,12 @@ QUERIES = {
     # CONSTRUCT rule derivation (inverse-edge enrichment)
     "construct_rule": ('CONSTRUCT { ?o "infected_by" ?s } '
                        'WHERE { ?s "infect" ?o }'),
+    # ASK existence probe (limit(1) short-circuit over a 2-hop join)
+    "ask_probe": 'ASK { ?s "infect" ?o . ?o "bind" ?g }',
+    # DESCRIBE: broadcast semi-join of the resource set both ways
+    "describe": 'DESCRIBE ?x WHERE { ?x "inhibit" ?g }',
+    # zero-or-more path: closure ∪ zero-length identity over terms
+    "path_star": 'SELECT ?s ?b WHERE { ?s "regulate" ?x . ?x "bind"* ?b }',
 }
 
 
