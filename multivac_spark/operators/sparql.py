@@ -33,7 +33,10 @@ Supported grammar (case-insensitive keywords)::
         -- resource (the one-step CBD convention, §16.4 leaves the
         -- form implementation-defined); output is a triple SET
 
-    pattern  := term pred term           -- triple pattern
+    pattern  := term pred[/pred...] term -- triple pattern; / chains
+                                         --   a sequence path (§9.1),
+                                         --   desugared over reserved
+                                         --   ?_seqN variables
               | { pattern ... } UNION { pattern ... } [UNION ...]
               | OPTIONAL { pattern ... [FILTER (cond)] ... }
                 -- left join of the group as ONE unit; FILTERs inside
@@ -103,7 +106,7 @@ _TOKEN_RE = re.compile(
       | (?P<lit>"(?:[^"\\]|\\.)*")
       | (?P<num>\d+)
       | (?P<word>[A-Za-z][A-Za-z_]*)
-      | (?P<punct>[{}().,+|^;?]|!=|=|\*)
+      | (?P<punct>[{}().,+|^;?/]|!=|=|\*)
     )""", re.VERBOSE)
 
 _STR_FUNCS = {"REGEX", "CONTAINS", "STRSTARTS"}
@@ -166,12 +169,14 @@ class _Query:
     ask: bool = False          # ASK form: project one boolean row
     describe: list = None      # DESCRIBE form: ("var"|"const", name) terms
     optionals: list = None     # OPTIONAL groups: (patterns, filters)
+    anon: set = None           # ?_seqN sequence-desugar variables
 
 
 @dataclass
 class _Tokens:
     toks: list
     pos: int = 0
+    anon: int = 0  # fresh-variable counter for sequence-path desugar
 
     def peek(self):
         return self.toks[self.pos] if self.pos < len(self.toks) else None
@@ -210,6 +215,10 @@ def _term(tok, base: str):
     """token → ("var", name) | ("const", matched-string)."""
     kind, text = tok
     if kind == "var":
+        if re.fullmatch(r"_seq\d+", text[1:]):
+            raise SparqlError(
+                "variable names ?_seqN are reserved (sequence-path "
+                "desugaring)")
         return ("var", text[1:])
     if kind == "iri":
         iri = text[1:-1]
@@ -224,9 +233,9 @@ def _term(tok, base: str):
     raise SparqlError(f"expected term, got {text!r}")
 
 
-def _parse_pattern(ts: _Tokens, base: str, optional: bool) -> _Pattern:
-    """One triple pattern (subj [^]pred[|pred...][+] obj)."""
-    subj = _term(ts.next(), base)
+def _parse_step(ts: _Tokens, base: str) -> tuple:
+    """One path step ``[^]pred[|pred...][+*?]`` →
+    ``(inverse, pred-term, path-modifier)``."""
     inverse = ts.peek() == ("punct", "^")
     if inverse:
         ts.next()
@@ -251,12 +260,39 @@ def _parse_pattern(ts: _Tokens, base: str, optional: bool) -> _Pattern:
                 f"(<p>{path})")
     if alts:
         pred = ("alt", (pred[1], *alts))
-    obj = _term(ts.next(), base)
-    if inverse:
+    return inverse, pred, path
+
+
+def _parse_pattern(ts: _Tokens, base: str, optional: bool,
+                   q: _Query = None) -> list:
+    """One triple pattern (subj step[/step...] obj) → a LIST of
+    ``_Pattern``s: a sequence path (§9.1 SequencePath) desugars into
+    chained patterns over fresh ``?_seqN`` variables (reserved —
+    ``_term`` rejects them in user queries, and they are excluded
+    from ``SELECT *``); each step carries its own inverse marker,
+    alternation, and ``+``/``*``/``?`` modifier."""
+    subj = _term(ts.next(), base)
+    steps = [_parse_step(ts, base)]
+    while ts.peek() == ("punct", "/"):
+        ts.next()
+        steps.append(_parse_step(ts, base))
+    if len(steps) > 1 and q is None:
+        raise SparqlError(
+            "sequence path is not supported in this context")
+    nodes = [subj]
+    for _ in steps[:-1]:
+        name = f"_seq{ts.anon}"
+        ts.anon += 1
+        q.anon.add(name)
+        nodes.append(("var", name))
+    nodes.append(_term(ts.next(), base))
+    out = []
+    for (inverse, pred, path), a, b in zip(steps, nodes, nodes[1:]):
         # s ^p o  ≡  o p s — and ^(p+) ≡ (^p)+, so the swap also
         # covers inverse property paths
-        subj, obj = obj, subj
-    return _Pattern((subj, pred, obj), optional=optional, path=path)
+        s, o = (b, a) if inverse else (a, b)
+        out.append(_Pattern((s, pred, o), optional=optional, path=path))
+    return out
 
 
 def _parse_plain_group(ts: _Tokens, base: str, what: str) -> list:
@@ -280,7 +316,7 @@ def _parse_plain_group(ts: _Tokens, base: str, what: str) -> list:
             raise SparqlError(
                 f"{t[1].upper()} inside a {what} branch is not "
                 "supported")
-        p = _parse_pattern(ts, base, optional=False)
+        p = _parse_pattern(ts, base, optional=False)[0]
         if p.path:
             raise SparqlError(
                 f"property path inside a {what} branch is not "
@@ -382,10 +418,12 @@ def _parse_group(ts: _Tokens, base: str, q: _Query, optional: bool):
             # scope to the group (SPARQL §6.1 LeftJoin), unlike
             # group-level filters which apply to the whole solution
             sub = _Query([], False, [], [], [], None, aggs=[],
-                         group=[], values=[], exists=[], optionals=[])
+                         group=[], values=[], exists=[], optionals=[],
+                         anon=set())
             _parse_group(ts, base, sub, optional=True)
             if not sub.patterns:
                 raise SparqlError("empty OPTIONAL group")
+            q.anon |= sub.anon
             q.optionals.append((sub.patterns, sub.filters))
             continue
         if t[0] == "word" and t[1].upper() == "FILTER":
@@ -418,7 +456,7 @@ def _parse_group(ts: _Tokens, base: str, q: _Query, optional: bool):
             ts.next()
             _parse_values(ts, base, q)
             continue
-        q.patterns.append(_parse_pattern(ts, base, optional))
+        q.patterns.extend(_parse_pattern(ts, base, optional, q))
 
 
 def _parse_filter(ts: _Tokens, base: str, q: _Query):
@@ -561,7 +599,7 @@ def parse(query: str, base: str = DEFAULT_BASE) -> _Query:
         ts.expect("WHERE")
     q = _Query(select, distinct, [], [], [], None, construct,
                aggs, [], [], [], ask=(form == "ASK"), describe=describe,
-               optionals=[])
+               optionals=[], anon=set())
     if form != "DESCRIBE" or ts.peek() is not None:
         _parse_group(ts, base, q, optional=False)
     if construct is not None and ts.peek() is not None:
@@ -1054,7 +1092,9 @@ def compile_bgp(triples: DataFrame, q: _Query) -> DataFrame:
             *[_agg_expr(f, a, d, sep).alias(alias)
               for f, a, d, alias, sep in q.aggs]).select(*q.select)
     else:
-        out_cols = sorted(bound) if q.select == ["*"] else q.select
+        # SELECT * never exposes sequence-desugar variables
+        out_cols = (sorted(bound - (q.anon or set()))
+                    if q.select == ["*"] else q.select)
         acc = acc.select(*out_cols)
     if q.distinct:
         acc = acc.distinct()
@@ -1227,7 +1267,8 @@ def to_sql(q: _Query, table: str = "triples") -> str:
             sql += f" LIMIT {q.limit}"
         return sql
 
-    out = sorted(aliases) if q.select == ["*"] else q.select
+    out = (sorted(set(aliases) - (q.anon or set()))
+           if q.select == ["*"] else q.select)
     sel = ", ".join(f"{aliases[v]} AS {v}" for v in out)
     sql = (f"{with_clause}SELECT {'DISTINCT ' if q.distinct else ''}"
            f"{sel} {frm}")

@@ -540,6 +540,49 @@ def test_optional_validation_errors(triples):
             S.sparql(triples, q)
 
 
+def test_sequence_path_two_steps(triples):
+    got = run(triples, 'SELECT ?a ?c WHERE { ?a "infect"/"contain" ?c }')
+    assert got == [("ebola", "cell"), ("ebola", "genome"),
+                   ("virus x", "genome")]
+
+
+def test_sequence_path_three_steps_and_star_select(triples):
+    got = run(triples, 'SELECT * WHERE '
+                       '{ ?a "infect"/"contain"/"encode" ?c }')
+    # SELECT * hides the two ?_seqN desugar variables
+    assert got == [("ebola", "protein"), ("virus x", "protein")]
+
+
+def test_sequence_path_with_modifier_step(triples):
+    # second step is zero-or-one: genome itself plus what it encodes
+    got = run(triples, 'SELECT ?a ?c WHERE { ?a "mutate"/"encode"? ?c }')
+    assert got == [("virus x", "genome"), ("virus x", "protein")]
+
+
+def test_sequence_path_with_inverse_step(triples):
+    # ^"infect" walks infect edges backwards: who else infects what
+    # ?a mutates... nothing mutates an infect-target; use contain:
+    # ?a "contain"/^"infect" ?c — a contains x and c infects x
+    got = run(triples, 'SELECT ?a ?c WHERE { ?a "contain"/^"infect" ?c }')
+    assert got == [("host", "ebola"), ("host", "virus x")]
+
+
+def test_sequence_path_errors(triples):
+    bad = [
+        # reserved desugar variable name
+        'SELECT ?_seq0 WHERE { ?_seq0 ?p ?o }',
+        # sequence inside a UNION branch
+        ('SELECT ?s WHERE { { ?s "infect"/"contain" ?o } UNION '
+         '{ ?s "mutate" ?o } }'),
+        # sequence inside a MINUS block
+        ('SELECT ?s ?o WHERE { ?s "infect" ?o '
+         'MINUS { ?s "infect"/"contain" ?o } }'),
+    ]
+    for q in bad:
+        with pytest.raises(S.SparqlError):
+            S.sparql(triples, q)
+
+
 def test_zero_or_more_path_ground_seed(triples):
     got = run(triples, 'SELECT ?b WHERE { <' + S.DEFAULT_BASE +
                        'host> "contain"* ?b }')
@@ -716,6 +759,12 @@ TWIN_QUERIES = [
      'OPTIONAL { ?a "mutate"+ ?b } }'),
     'SELECT ?a ?b WHERE { ?a "contain"* ?b }',
     'SELECT ?s ?b WHERE { ?s "infect" ?x . ?x "contain"* ?b }',
+    'SELECT ?a ?c WHERE { ?a "infect"/"contain" ?c }',
+    'SELECT * WHERE { ?a "infect"/"contain"+/"encode"? ?c }',
+    ('SELECT ?a (COUNT(?c) AS ?n) WHERE '
+     '{ ?a "infect"/"contain" ?c } GROUP BY ?a'),
+    ('SELECT ?s ?c WHERE { ?s "infect" ?x . '
+     'OPTIONAL { ?x "contain"/"encode" ?c } }'),
     'SELECT ?a ?b WHERE { ?a "contain"? ?b }',
     ('SELECT ?b (COUNT(?a) AS ?n) WHERE { ?a "contain"* ?b } '
      'GROUP BY ?b'),
