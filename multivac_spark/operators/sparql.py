@@ -20,7 +20,7 @@ Supported grammar (case-insensitive keywords)::
       -- values sorted; default separator " ")
     WHERE { pattern [.] pattern ... }
     [GROUP BY ?g ...]
-    [ORDER BY (?v | DESC(?v)) ...] [LIMIT n]
+    [ORDER BY (?v | DESC(?v)) ...] [LIMIT n] [OFFSET m]
 
     CONSTRUCT { term term term [.] ... }   -- derive new triples
     WHERE { pattern [.] pattern ... }      -- (rule/enrichment form;
@@ -170,6 +170,7 @@ class _Query:
     describe: list = None      # DESCRIBE form: ("var"|"const", name) terms
     optionals: list = None     # OPTIONAL groups: (patterns, filters)
     anon: set = None           # ?_seqN sequence-desugar variables
+    offset: int = None         # OFFSET m — skipped before LIMIT
 
 
 @dataclass
@@ -607,7 +608,7 @@ def parse(query: str, base: str = DEFAULT_BASE) -> _Query:
         # would be nondeterministic — rejected rather than surprising
         raise SparqlError("CONSTRUCT does not take solution modifiers")
     while ts.peek() is not None:
-        kw = ts.expect("ORDER", "LIMIT", "GROUP")
+        kw = ts.expect("ORDER", "LIMIT", "OFFSET", "GROUP")
         if kw == "GROUP":
             ts.expect("BY")
             while ts.peek() and ts.peek()[0] == "var":
@@ -639,15 +640,19 @@ def parse(query: str, base: str = DEFAULT_BASE) -> _Query:
         else:
             t = ts.next()
             if t[0] != "num":
-                raise SparqlError("LIMIT needs an integer")
-            q.limit = int(t[1])
+                raise SparqlError(f"{kw} needs an integer")
+            if kw == "LIMIT":
+                q.limit = int(t[1])
+            else:
+                q.offset = int(t[1])
     _validate(q)
     return q
 
 
 def _validate(q: _Query):
     if q.ask or q.describe is not None:
-        if q.order or q.limit is not None or q.group:
+        if q.order or q.limit is not None or q.offset is not None \
+                or q.group:
             raise SparqlError(
                 "ASK/DESCRIBE do not take solution modifiers")
     if q.describe is not None and not q.patterns and not q.optionals:
@@ -1101,6 +1106,8 @@ def compile_bgp(triples: DataFrame, q: _Query) -> DataFrame:
     if q.order:
         acc = acc.orderBy(*[F.col(v).asc() if asc else F.col(v).desc()
                             for v, asc in q.order])
+    if q.offset is not None:
+        acc = acc.offset(q.offset)
     if q.limit is not None:
         acc = acc.limit(q.limit)
     return acc
@@ -1265,6 +1272,8 @@ def to_sql(q: _Query, table: str = "triples") -> str:
                                             for v, asc in q.order)
         if q.limit is not None:
             sql += f" LIMIT {q.limit}"
+        if q.offset is not None:
+            sql += f" OFFSET {q.offset}"
         return sql
 
     out = (sorted(set(aliases) - (q.anon or set()))
@@ -1277,6 +1286,8 @@ def to_sql(q: _Query, table: str = "triples") -> str:
                                         for v, asc in q.order)
     if q.limit is not None:
         sql += f" LIMIT {q.limit}"
+    if q.offset is not None:
+        sql += f" OFFSET {q.offset}"
     return sql
 
 

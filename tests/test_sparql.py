@@ -540,6 +540,24 @@ def test_optional_validation_errors(triples):
             S.sparql(triples, q)
 
 
+def test_offset_pagination(triples):
+    page = lambda off: run(triples, '''
+        SELECT ?s ?o WHERE { ?s ?p ?o } ORDER BY ?s ?o
+        LIMIT 3 OFFSET ''' + str(off))
+    # collect() after ORDER BY preserves order; srt re-sorts but
+    # pages must partition the ordered row set without overlap
+    all_rows = run(triples, 'SELECT ?s ?o WHERE { ?s ?p ?o }')
+    paged = page(0) + page(3) + page(6)
+    assert srt(paged) == all_rows
+    assert run(triples, '''
+        SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s
+        ORDER BY DESC(?n) ?s LIMIT 1 OFFSET 1''') == [("virus x", 2)]
+    with pytest.raises(S.SparqlError):
+        S.sparql(triples, 'ASK { ?s ?p ?o } OFFSET 1')
+    with pytest.raises(S.SparqlError):
+        S.sparql(triples, 'SELECT ?s WHERE { ?s ?p ?o } OFFSET ?x')
+
+
 def test_sequence_path_two_steps(triples):
     got = run(triples, 'SELECT ?a ?c WHERE { ?a "infect"/"contain" ?c }')
     assert got == [("ebola", "cell"), ("ebola", "genome"),
@@ -768,6 +786,10 @@ TWIN_QUERIES = [
     'SELECT ?a ?b WHERE { ?a "contain"? ?b }',
     ('SELECT ?b (COUNT(?a) AS ?n) WHERE { ?a "contain"* ?b } '
      'GROUP BY ?b'),
+    ('SELECT ?s ?p ?o WHERE { ?s ?p ?o } ORDER BY ?s ?p ?o '
+     'LIMIT 3 OFFSET 2'),
+    ('SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p '
+     'ORDER BY DESC(?n) ?p LIMIT 2 OFFSET 1'),
     'ASK { ?s "infect" ?o . ?o "contain" ?g }',
     'ASK WHERE { ?s "encode" "cell" }',
     'DESCRIBE <' + S.DEFAULT_BASE + 'cell>',
