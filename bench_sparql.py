@@ -45,6 +45,9 @@ QUERIES = {
     "describe": 'DESCRIBE ?x WHERE { ?x "inhibit" ?g }',
     # zero-or-more path: closure ∪ zero-length identity over terms
     "path_star": 'SELECT ?s ?b WHERE { ?s "regulate" ?x . ?x "bind"* ?b }',
+    # sequence path: two chained constant-predicate scans via an
+    # anonymous middle variable (desugared equi-join)
+    "path_seq": 'SELECT ?a ?c WHERE { ?a "infect"/"bind" ?c }',
 }
 
 
