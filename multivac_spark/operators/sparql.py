@@ -479,7 +479,9 @@ def _parse_filter(ts: _Tokens, base: str, q: _Query):
         op = ts.next()
         if op not in (("punct", "="), ("punct", "!=")):
             raise SparqlError(f"expected = or !=, got {op[1]!r}")
-        q.filters.append((op[1], t[1][1:], _term(ts.next(), base)[1]))
+        # the RHS keeps its ("var"|"const", value) kind: ?a = ?b is a
+        # column comparison, ?a = "b" / <iri> a constant one
+        q.filters.append((op[1], t[1][1:], _term(ts.next(), base)))
     else:
         raise SparqlError(f"unsupported FILTER starting at {t[1]!r}")
     ts.expect(")")
@@ -682,11 +684,14 @@ def _validate(q: _Query):
             raise SparqlError(
                 "OPTIONAL groups may not share variables with each "
                 f"other (got {sorted(gvars & seen_opt)})")
-        for _, var, _ in filts:
-            if var not in gvars:
-                raise SparqlError(
-                    "FILTER inside OPTIONAL may only use variables "
-                    f"bound in that group (?{var})")
+        for kind, var, value in filts:
+            rhs = ([value[1]] if kind in ("=", "!=")
+                   and value[0] == "var" else [])
+            for v in [var] + rhs:
+                if v not in gvars:
+                    raise SparqlError(
+                        "FILTER inside OPTIONAL may only use variables "
+                        f"bound in that group (?{v})")
         seen_opt |= gvars - required
         bound |= gvars
     if q.describe is not None:
@@ -727,9 +732,13 @@ def _validate(q: _Query):
     if q.group and not q.aggs:
         raise SparqlError("GROUP BY without aggregates is not supported "
                           "(use SELECT DISTINCT)")
-    for _, var, _ in q.filters:
+    for kind, var, value in q.filters:
         if var not in bound:
             raise SparqlError(f"FILTER on unbound variable ?{var}")
+        if kind in ("=", "!=") and value[0] == "var" \
+                and value[1] not in bound:
+            raise SparqlError(
+                f"FILTER on unbound variable ?{value[1]}")
     for names, _ in q.values or []:
         for v in names:
             if v not in bound:
@@ -989,9 +998,11 @@ def _solve(triples: DataFrame, q: _Query) -> tuple:
 
 def _filter_cond(kind, var, value):
     c = F.col(var)
-    return {"=": lambda: c == value,
-            "!=": lambda: c != value,
-            "REGEX": lambda: c.rlike(value),
+    if kind in ("=", "!="):
+        vk, vv = value
+        rhs = F.col(vv) if vk == "var" else F.lit(vv)
+        return c == rhs if kind == "=" else c != rhs
+    return {"REGEX": lambda: c.rlike(value),
             "CONTAINS": lambda: c.contains(value),
             "STRSTARTS": lambda: c.startswith(value)}[kind]()
 
@@ -1194,7 +1205,8 @@ def to_sql(q: _Query, table: str = "triples") -> str:
                      + (" AND ".join(local) or "TRUE"))
     aliases = seen_vars
     for kind, var, value in q.filters:
-        filt_parts.append(_filter_sql(kind, aliases[var], value))
+        filt_parts.append(_filter_sql(kind, aliases[var], value,
+                                      aliases))
     for names, rows in q.values or []:
         if len(names) == 1:
             vals = ", ".join(_sql_str(r[0]) for r in rows)
@@ -1349,7 +1361,7 @@ def _group_sql(patterns: list, filters: list, table: str, prefix: str,
             else:
                 seen[name] = f"{t}.{pos}"
     for kind, var, value in filters:
-        conds.append(_filter_sql(kind, seen[var], value))
+        conds.append(_filter_sql(kind, seen[var], value, seen))
     frm = f"FROM {' '.join(joins)} WHERE {' AND '.join(conds) or 'TRUE'}"
     sel = ", ".join(f"{seen[v]} AS {v}" for v in sorted(seen))
     return f"SELECT {sel} {frm}", sorted(seen)
@@ -1381,11 +1393,13 @@ def _path_tbl(p: "_Pattern", table: str, name: str, ctes: list) -> str:
     return f"({base} UNION {ident})"
 
 
-def _filter_sql(kind: str, v: str, value: str) -> str:
+def _filter_sql(kind: str, v: str, value, aliases: dict) -> str:
+    if kind in ("=", "!="):
+        vk, vv = value
+        s = aliases[vv] if vk == "var" else _sql_str(vv)
+        return f"{v} = {s}" if kind == "=" else f"{v} <> {s}"
     s = _sql_str(value)
-    return {"=": f"{v} = {s}",
-            "!=": f"{v} <> {s}",
-            "REGEX": f"regexp_matches({v}, {s})",
+    return {"REGEX": f"regexp_matches({v}, {s})",
             "CONTAINS": f"contains({v}, {s})",
             "STRSTARTS": f"starts_with({v}, {s})"}[kind]
 

@@ -540,6 +540,24 @@ def test_optional_validation_errors(triples):
             S.sparql(triples, q)
 
 
+def test_filter_var_to_var_comparison(triples):
+    got = run(triples, '''
+        SELECT ?x ?y WHERE { ?x "contain" ?y . FILTER(?x != ?y) }''')
+    assert got == [("cell", "genome"), ("host", "cell")]
+    got = run(triples, '''
+        SELECT ?x WHERE { ?x "contain" ?y . FILTER(?x = ?y) }''')
+    assert got == [("self",)]
+    # scoped var-to-var filter inside OPTIONAL
+    got = run(triples, '''
+        SELECT ?s ?y WHERE { ?s "infect" ?x .
+            OPTIONAL { ?x "contain" ?y FILTER(?x != ?y) } }''')
+    assert got == [("ebola", "cell"), ("ebola", "genome"),
+                   ("virus x", "genome")]
+    with pytest.raises(S.SparqlError):
+        S.sparql(triples,
+                 'SELECT ?x WHERE { ?x "contain" ?y . FILTER(?x = ?zz) }')
+
+
 def test_offset_pagination(triples):
     page = lambda off: run(triples, '''
         SELECT ?s ?o WHERE { ?s ?p ?o } ORDER BY ?s ?o
@@ -788,6 +806,9 @@ TWIN_QUERIES = [
      'GROUP BY ?b'),
     ('SELECT ?s ?p ?o WHERE { ?s ?p ?o } ORDER BY ?s ?p ?o '
      'LIMIT 3 OFFSET 2'),
+    'SELECT ?x ?y WHERE { ?x "contain" ?y . FILTER(?x != ?y) }',
+    ('SELECT ?s ?y WHERE { ?s "infect" ?x . '
+     'OPTIONAL { ?x "contain" ?y FILTER(?x != ?y) } }'),
     ('SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p '
      'ORDER BY DESC(?n) ?p LIMIT 2 OFFSET 1'),
     'ASK { ?s "infect" ?o . ?o "contain" ?g }',
