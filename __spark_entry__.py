@@ -982,10 +982,11 @@ def q_repeated_spans(spark, sf_dir):
     survives only in doc 0 and every other carrier loses exactly its
     60 block tokens. The pass ALSO catches the driver corpus's own
     planted containment duplicates (e.g. sf0.01 doc 185 is a full
-    substring of doc 61 — such docs dedup to zero kept tokens and drop
-    from the output, in both engines). Gram keys are md5 content
-    hashes — uniform, no skew; the oracle replays the whole flow in
-    SQL."""
+    substring of doc 61 — such docs dedup to ZERO kept tokens and
+    emit (id, '', n_tokens) rather than vanishing: a curation flow
+    must keep the corpus row so downstream joins/lineage don't lose
+    ids silently, in both engines). Gram keys are md5 content hashes
+    — uniform, no skew; the oracle replays the whole flow in SQL."""
     from multivac_spark.operators.dedup import remove_repeated_spans
 
     docs = _t(spark, sf_dir, "documents")
@@ -1033,10 +1034,14 @@ kept AS (
   SELECT t.doc_id, t.cp, t.tok, t.n
   FROM tokpos t LEFT JOIN covered c
     ON t.doc_id = c.doc_id AND t.cp = c.cp
-  WHERE c.cp IS NULL)
-SELECT doc_id, string_agg(tok, ' ' ORDER BY cp) AS text,
-       CAST(any_value(n) - count(*) AS BIGINT) AS n_tokens_removed
-FROM kept GROUP BY doc_id
+  WHERE c.cp IS NULL),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY cp) AS text,
+         count(*) AS nk
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(a.text, '') AS text,
+       CAST(len(t.ts) - COALESCE(a.nk, 0) AS BIGINT) AS n_tokens_removed
+FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 

@@ -369,15 +369,29 @@ def remove_repeated_spans(docs: DataFrame, span: int = 50,
         F.posexplode("_ts").alias("_off", "_tok")) \
         .select(id_col, "_n", (F.col("_off") + 1).alias("_cp"), "_tok")
     kept = tokpos.join(covered, [id_col, "_cp"], "left_anti")
-    rebuilt = (kept.groupBy(id_col)
-               .agg(F.array_sort(F.collect_list(
-                        F.struct("_cp", "_tok"))).alias("_ls"),
-                    F.first("_n").alias("_n"))
+    rebuilt_kept = (kept.groupBy(id_col)
+                    .agg(F.array_sort(F.collect_list(
+                             F.struct("_cp", "_tok"))).alias("_ls"),
+                         F.first("_n").alias("_n"))
+                    .select(
+                        id_col,
+                        F.array_join(F.transform("_ls",
+                                                 lambda s: s["_tok"]),
+                                     " ").alias(text_col),
+                        (F.col("_n") - F.size("_ls")).cast("long")
+                        .alias("n_tokens_removed")))
+    # A doc whose EVERY token position is covered (e.g. a short doc
+    # wholly duplicated elsewhere) has no `kept` rows, so the groupBy
+    # above omits it entirely — left-join the rebuilt rows back onto
+    # the touched id set and coalesce to (id, "", _n) so the corpus
+    # row survives with empty text instead of vanishing silently.
+    rebuilt = (touched.select(id_col, "_n")
+               .join(rebuilt_kept, id_col, "left")
                .select(
                    id_col,
-                   F.array_join(F.transform("_ls", lambda s: s["_tok"]),
-                                " ").alias(text_col),
-                   (F.col("_n") - F.size("_ls")).cast("long")
+                   F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+                   F.coalesce(F.col("n_tokens_removed"),
+                              F.col("_n").cast("long"))
                    .alias("n_tokens_removed")))
     untouched = (base.join(touched_ids, id_col, "left_anti")
                  .select(F.col(id_col),

@@ -143,6 +143,25 @@ def test_remove_repeated_spans_overlapping_merge(spark):
     assert got[2] == ("other start more unique", 7)
 
 
+def test_remove_repeated_spans_fully_covered_doc(spark):
+    """A doc whose EVERY token is inside a removed span must still
+    emit (id, "", n) — not silently vanish from the corpus.  Doc 2 is
+    exactly the 5-token block that doc 1 already contains (doc 1 is
+    canonical by min doc_id), so every position of doc 2 is covered."""
+    from multivac_spark.operators.dedup import remove_repeated_spans
+
+    block = "b1 b2 b3 b4 b5"
+    df = spark.createDataFrame(
+        [(1, f"{block} trailing unique words"),
+         (2, block)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_tokens_removed"])
+           for r in remove_repeated_spans(df, span=5).collect()}
+    assert set(got) == {1, 2}
+    assert got[1] == (f"{block} trailing unique words", 0)
+    assert got[2] == ("", 5)
+
+
 def test_bpe_token_count_examples(spark):
     """BPE pre-tokenizer split: contractions split off, punctuation
     runs count separately, whitespace folds into the next token."""
