@@ -34,8 +34,15 @@ QUERIES = {
     "optional_filter": ('SELECT ?s ?g WHERE { ?s "infect" ?o . '
                         'OPTIONAL { ?o "encode" ?g } '
                         'FILTER(CONTAINS(?s, "virus")) }'),
-    # one-or-more property path seeded by a join (reachability)
+    # one-or-more property path, both variables unbound: the full
+    # semi-naive transitive closure (the worst case — kept as the
+    # upper envelope)
     "path_closure": 'SELECT ?a ?b WHERE { ?a "bind"+ ?b }',
+    # the same closure predicate with the endpoint bound by a BGP
+    # pattern: round 6 routes this to a multi-source seeded BFS
+    # (work ∝ the seeds' reachable set, not the graph closure)
+    "path_seeded": ('SELECT ?x ?b WHERE { ?s "regulate" ?x . '
+                    '?x "bind"+ ?b }'),
     # CONSTRUCT rule derivation (inverse-edge enrichment)
     "construct_rule": ('CONSTRUCT { ?o "infected_by" ?s } '
                        'WHERE { ?s "infect" ?o }'),

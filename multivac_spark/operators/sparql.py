@@ -13,14 +13,22 @@ attachment, string filters, order/limit.
 
 Supported grammar (case-insensitive keywords)::
 
-    SELECT [DISTINCT] (?v ... | *)
+    [PREFIX name: <iri> ...]             -- name:local expands to
+                                         --   <iri local> everywhere a
+                                         --   term is accepted
+    SELECT [DISTINCT] (?v | (expr AS ?v)) ... | *
     SELECT ?g ... (COUNT([DISTINCT] ?v | *) AS ?a) ...   -- aggregates
       -- (§18.5): COUNT / MIN / MAX / SAMPLE (deterministic: = MIN)
       -- / GROUP_CONCAT(?v [; SEPARATOR = "s"]) (deterministic:
       -- values sorted; default separator " ")
     WHERE { pattern [.] pattern ... }
-    [GROUP BY ?g ...]
+    [GROUP BY ?g ...] [HAVING (cond) ...]
+      -- HAVING conds reference GROUP BY vars / aggregate aliases;
+      -- the numeric comparisons are the COUNT-threshold shape
     [ORDER BY (?v | DESC(?v)) ...] [LIMIT n] [OFFSET m]
+      -- ORDER BY vars must be projected (under DISTINCT §15.1
+      -- requires it; enforced for plain SELECT too so the SQL twin
+      -- orders by the same output column)
 
     CONSTRUCT { term term term [.] ... }   -- derive new triples
     WHERE { pattern [.] pattern ... }      -- (rule/enrichment form;
@@ -42,18 +50,30 @@ Supported grammar (case-insensitive keywords)::
                 -- left join of the group as ONE unit; FILTERs inside
                 -- the braces scope to the group (§6.1 LeftJoin)
               | FILTER ( cond )
+              | BIND ( expr AS ?v )      -- computed column (§7); the
+                                         --   expr may use any bound
+                                         --   variable, incl. OPTIONAL
               | MINUS { pattern ... }    -- anti-join (§8.3)
               | FILTER [NOT] EXISTS { pattern ... }  -- semi/anti-join
               | VALUES ?v { const ... }  -- inline data (filter form)
               | VALUES (?v ...) { (const ...) ... }
-    pred     := [^]term                  -- ^ = inverse (§9.1)
-              | [^]term (| term)...     -- alternation (constants only)
-              | [^]term(+|*|?)           -- property path: one-or-more,
+    pred     := [^][!]pset               -- ^ = inverse (§9.1);
+                                         --   ! = negated set (§9.1,
+                                         --   constants only)
+              | [^][!]pset(+|*|?)        -- property path: one-or-more,
                                          --   zero-or-more, zero-or-one
-                                         --   (constant predicate only)
-    term     := ?var | <iri> | "literal"
-    cond     := ?v = term | ?v != term | REGEX(?v, "re")
+                                         --   (constant predicates only)
+    pset     := term | term (| term)... | ( term (| term)... )
+                                         -- alternation; parens allow
+                                         --   it under a path modifier
+    term     := ?var | <iri> | name:local | "literal"
+    cond     := ?v = rhs | ?v != rhs | ?v < n | ?v > n
+              | ?v <= n | ?v >= n        -- n = integer or
+                                         --   "n"^^xsd:integer
+              | REGEX(?v, "re")
               | CONTAINS(?v, "s") | STRSTARTS(?v, "s")
+    expr     := term | CONCAT(expr, ...) | UCASE(expr) | LCASE(expr)
+              | STR(expr) | STRLEN(expr)
 
 Compilation is Spark-first and fully declarative:
 
@@ -102,11 +122,15 @@ from ..sources.ntriples import DEFAULT_BASE
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<iri><[^>]*>)
+      | (?P<iri><[^>\s]*>)         # IRIs never contain whitespace, so a
+                                   # bare '<' (numeric comparison) still
+                                   # tokenizes as punct
       | (?P<lit>"(?:[^"\\]|\\.)*")
       | (?P<num>\d+)
+      | (?P<pname>[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*
+                 |:[A-Za-z0-9_.-]+)
       | (?P<word>[A-Za-z][A-Za-z_]*)
-      | (?P<punct>[{}().,+|^;?/]|!=|=|\*)
+      | (?P<punct><=|>=|!=|\^\^|[{}().,+|^;?/!<>=*])
     )""", re.VERBOSE)
 
 _STR_FUNCS = {"REGEX", "CONTAINS", "STRSTARTS"}
@@ -171,6 +195,8 @@ class _Query:
     optionals: list = None     # OPTIONAL groups: (patterns, filters)
     anon: set = None           # ?_seqN sequence-desugar variables
     offset: int = None         # OFFSET m — skipped before LIMIT
+    binds: list = None   # (alias, expr-tree) from BIND / SELECT exprs
+    having: list = None  # post-aggregate conditions (same cond tuples)
 
 
 @dataclass
@@ -178,6 +204,7 @@ class _Tokens:
     toks: list
     pos: int = 0
     anon: int = 0  # fresh-variable counter for sequence-path desugar
+    prefixes: dict = None  # PREFIX name → IRI prefix string
 
     def peek(self):
         return self.toks[self.pos] if self.pos < len(self.toks) else None
@@ -209,10 +236,10 @@ def _tokenize(text: str):
         pos = m.end()
         kind = m.lastgroup
         toks.append((kind, m.group(kind)))
-    return _Tokens(toks)
+    return _Tokens(toks, prefixes={})
 
 
-def _term(tok, base: str):
+def _term(tok, base: str, prefixes: dict = None):
     """token → ("var", name) | ("const", matched-string)."""
     kind, text = tok
     if kind == "var":
@@ -221,6 +248,11 @@ def _term(tok, base: str):
                 "variable names ?_seqN are reserved (sequence-path "
                 "desugaring)")
         return ("var", text[1:])
+    if kind == "pname":
+        pfx, _, local = text.partition(":")
+        if not prefixes or pfx not in prefixes:
+            raise SparqlError(f"undeclared prefix {pfx!r}:")
+        return _term(("iri", f"<{prefixes[pfx]}{local}>"), base)
     if kind == "iri":
         iri = text[1:-1]
         if iri.startswith(base):
@@ -235,32 +267,51 @@ def _term(tok, base: str):
 
 
 def _parse_step(ts: _Tokens, base: str) -> tuple:
-    """One path step ``[^]pred[|pred...][+*?]`` →
-    ``(inverse, pred-term, path-modifier)``."""
+    """One path step ``[^][!]pred[|pred...][+*?]`` →
+    ``(inverse, pred-term, path-modifier)``.
+
+    Grouping parens allow alternation under a modifier
+    (``(<a>|<b>)+`` — W3C §9.1 alternation inside a closure), and
+    ``!`` negates a constant predicate set (``!<a>``, ``!(<a>|<b>)``
+    — §9.1 NegatedPropertySet, forward members only)."""
     inverse = ts.peek() == ("punct", "^")
     if inverse:
         ts.next()
-    pred = _term(ts.next(), base)
-    alts = []
+    neg = ts.peek() == ("punct", "!")
+    if neg:
+        ts.next()
+    paren = ts.peek() == ("punct", "(")
+    if paren:
+        ts.next()
+    preds = [_term(ts.next(), base, ts.prefixes)]
     while ts.peek() == ("punct", "|"):
         ts.next()
-        alt = _term(ts.next(), base)
-        if pred[0] != "const" or alt[0] != "const":
-            raise SparqlError(
-                "predicate alternation needs constant predicates")
-        alts.append(alt[1])
+        preds.append(_term(ts.next(), base, ts.prefixes))
+    if paren:
+        ts.expect(")")
+    if (len(preds) > 1 or neg) and any(k != "const" for k, _ in preds):
+        raise SparqlError(
+            "predicate alternation/negation needs constant predicates")
     path = None
     if ts.peek() in (("punct", "+"), ("punct", "*"), ("punct", "?")):
         path = ts.next()[1]
-        if alts:
+        if len(preds) > 1 and not paren:
+            # W3C §9.1: a modifier binds tighter than '|', so
+            # "a"|"b"+ would mean a|(b+) — require the parenthesized
+            # (a|b)+ form rather than silently re-grouping
             raise SparqlError(
-                "property path over an alternation is not supported")
-        if pred[0] != "const":
+                "property path over a bare alternation is ambiguous "
+                "— parenthesize: (<a>|<b>)" + path)
+        if preds[0][0] != "const":
             raise SparqlError(
-                "property path needs a constant predicate "
+                "property path needs constant predicate(s) "
                 f"(<p>{path})")
-    if alts:
-        pred = ("alt", (pred[1], *alts))
+    if neg:
+        pred = ("neg", tuple(v for _, v in preds))
+    elif len(preds) > 1:
+        pred = ("alt", tuple(v for _, v in preds))
+    else:
+        pred = preds[0]
     return inverse, pred, path
 
 
@@ -272,7 +323,7 @@ def _parse_pattern(ts: _Tokens, base: str, optional: bool,
     ``_term`` rejects them in user queries, and they are excluded
     from ``SELECT *``); each step carries its own inverse marker,
     alternation, and ``+``/``*``/``?`` modifier."""
-    subj = _term(ts.next(), base)
+    subj = _term(ts.next(), base, ts.prefixes)
     steps = [_parse_step(ts, base)]
     while ts.peek() == ("punct", "/"):
         ts.next()
@@ -286,7 +337,7 @@ def _parse_pattern(ts: _Tokens, base: str, optional: bool,
         ts.anon += 1
         q.anon.add(name)
         nodes.append(("var", name))
-    nodes.append(_term(ts.next(), base))
+    nodes.append(_term(ts.next(), base, ts.prefixes))
     out = []
     for (inverse, pred, path), a, b in zip(steps, nodes, nodes[1:]):
         # s ^p o  ≡  o p s — and ^(p+) ≡ (^p)+, so the swap also
@@ -369,7 +420,7 @@ def _parse_values(ts: _Tokens, base: str, q: _Query):
             ts.next()
             row = []
             for _ in names:
-                c = _term(ts.next(), base)
+                c = _term(ts.next(), base, ts.prefixes)
                 if c[0] != "const":
                     raise SparqlError("VALUES rows must be constants")
                 row.append(c[1])
@@ -381,7 +432,7 @@ def _parse_values(ts: _Tokens, base: str, q: _Query):
         ts.expect("{")
         rows = []
         while ts.peek() and ts.peek() != ("punct", "}"):
-            c = _term(ts.next(), base)
+            c = _term(ts.next(), base, ts.prefixes)
             if c[0] != "const":
                 raise SparqlError("VALUES rows must be constants")
             rows.append((c[1],))
@@ -420,7 +471,7 @@ def _parse_group(ts: _Tokens, base: str, q: _Query, optional: bool):
             # group-level filters which apply to the whole solution
             sub = _Query([], False, [], [], [], None, aggs=[],
                          group=[], values=[], exists=[], optionals=[],
-                         anon=set())
+                         anon=set(), binds=[], having=[])
             _parse_group(ts, base, sub, optional=True)
             if not sub.patterns:
                 raise SparqlError("empty OPTIONAL group")
@@ -457,10 +508,55 @@ def _parse_group(ts: _Tokens, base: str, q: _Query, optional: bool):
             ts.next()
             _parse_values(ts, base, q)
             continue
+        if t[0] == "word" and t[1].upper() == "BIND":
+            if optional:
+                raise SparqlError("BIND inside OPTIONAL is not supported")
+            ts.next()
+            ts.expect("(")
+            e = _parse_expr(ts, base)
+            ts.expect("AS")
+            a = ts.next()
+            if a[0] != "var":
+                raise SparqlError("BIND alias must be a variable")
+            ts.expect(")")
+            q.binds.append((a[1][1:], e))
+            continue
         q.patterns.extend(_parse_pattern(ts, base, optional, q))
 
 
-def _parse_filter(ts: _Tokens, base: str, q: _Query):
+_CMP_OPS = ("=", "!=", "<", ">", "<=", ">=")
+
+_NUM_TYPES = {"integer", "int", "long", "decimal",
+              "nonNegativeInteger", "positiveInteger"}
+
+
+def _parse_rhs(ts: _Tokens, base: str):
+    """Comparison right-hand side → ("var"|"const"|"num", value).
+    Numeric = a bare integer token or a typed literal
+    ``"n"^^xsd:integer`` (any declared prefix for the XSD namespace,
+    or the conventional ``xsd:`` undeclared)."""
+    t = ts.next()
+    if t[0] == "num":
+        return ("num", int(t[1]))
+    if t[0] == "lit" and ts.peek() == ("punct", "^^"):
+        ts.next()
+        ty = ts.next()
+        if ty[0] != "pname" \
+                or ty[1].rpartition(":")[2] not in _NUM_TYPES:
+            raise SparqlError(
+                f"unsupported literal datatype {ty[1]!r} (integer "
+                "types only)")
+        body = t[1][1:-1]
+        try:
+            return ("num", int(body))
+        except ValueError:
+            raise SparqlError(f"not an integer literal: {body!r}")
+    return _term(t, base, ts.prefixes)
+
+
+def _parse_cond(ts: _Tokens, base: str) -> tuple:
+    """One parenthesized FILTER / HAVING condition → a cond tuple
+    ``(kind, var, value)``."""
     ts.expect("(")
     t = ts.next()
     if t[0] == "word" and t[1].upper() in _STR_FUNCS:
@@ -474,17 +570,62 @@ def _parse_filter(ts: _Tokens, base: str, q: _Query):
         if arg[0] != "lit":
             raise SparqlError(f"{func} needs a string literal argument")
         ts.expect(")")
-        q.filters.append((func, var[1][1:], _term(arg, base)[1]))
+        cond = (func, var[1][1:], _term(arg, base)[1])
     elif t[0] == "var":
         op = ts.next()
-        if op not in (("punct", "="), ("punct", "!=")):
-            raise SparqlError(f"expected = or !=, got {op[1]!r}")
-        # the RHS keeps its ("var"|"const", value) kind: ?a = ?b is a
-        # column comparison, ?a = "b" / <iri> a constant one
-        q.filters.append((op[1], t[1][1:], _term(ts.next(), base)))
+        if op[0] != "punct" or op[1] not in _CMP_OPS:
+            raise SparqlError(
+                f"expected comparison operator, got {op[1]!r}")
+        # the RHS keeps its ("var"|"const"|"num", value) kind:
+        # ?a = ?b is a column comparison, ?a = "b" / <iri> a constant
+        # one, and ?a > 3 / "3"^^xsd:integer a numeric one (the only
+        # kind the ordering operators accept)
+        rhs = _parse_rhs(ts, base)
+        if op[1] in ("<", ">", "<=", ">=") and rhs[0] != "num":
+            raise SparqlError(
+                f"{op[1]} needs an integer right-hand side")
+        cond = (op[1], t[1][1:], rhs)
     else:
         raise SparqlError(f"unsupported FILTER starting at {t[1]!r}")
     ts.expect(")")
+    return cond
+
+
+def _parse_filter(ts: _Tokens, base: str, q: _Query):
+    q.filters.append(_parse_cond(ts, base))
+
+
+_EXPR_FUNCS = {"CONCAT": None, "UCASE": 1, "LCASE": 1, "STR": 1,
+               "STRLEN": 1}
+
+
+def _parse_expr(ts: _Tokens, base: str):
+    """BIND / projection expression →
+    ``("var", name) | ("const", s) | ("func", name, [args])``."""
+    t = ts.next()
+    if t[0] == "word" and t[1].upper() in _EXPR_FUNCS:
+        func = t[1].upper()
+        ts.expect("(")
+        args = [_parse_expr(ts, base)]
+        while ts.peek() == ("punct", ","):
+            ts.next()
+            args.append(_parse_expr(ts, base))
+        ts.expect(")")
+        arity = _EXPR_FUNCS[func]
+        if arity is not None and len(args) != arity:
+            raise SparqlError(f"{func} takes {arity} argument(s)")
+        return ("func", func, args)
+    if t[0] in ("var", "iri", "lit", "pname"):
+        return _term(t, base, ts.prefixes)
+    raise SparqlError(f"unsupported expression at {t[1]!r}")
+
+
+def _expr_vars(e) -> set:
+    if e[0] == "var":
+        return {e[1]}
+    if e[0] == "func":
+        return set().union(*(_expr_vars(a) for a in e[2]))
+    return set()
 
 
 def _parse_template(ts: _Tokens, base: str) -> list:
@@ -503,7 +644,7 @@ def _parse_template(ts: _Tokens, base: str) -> list:
         if t == ("punct", "."):
             ts.next()
             continue
-        out.append(_Pattern(tuple(_term(ts.next(), base)
+        out.append(_Pattern(tuple(_term(ts.next(), base, ts.prefixes)
                                   for _ in range(3))))
 
 
@@ -551,12 +692,28 @@ def _parse_agg(ts: _Tokens):
 
 def parse(query: str, base: str = DEFAULT_BASE) -> _Query:
     ts = _tokenize(query)
+    # PREFIX declarations (named prefixes; the ex:local form expands
+    # to <iri local> and then takes the same base-strip + RFC 3986
+    # decode path as a written-out IRI)
+    while ts.peek() is not None and ts.peek()[0] == "word" \
+            and ts.peek()[1].upper() == "PREFIX":
+        ts.next()
+        name = ts.next()
+        if name[0] != "pname" or not name[1].endswith(":"):
+            raise SparqlError(
+                "PREFIX needs a name ending in ':' (e.g. PREFIX ex: "
+                "<iri>)")
+        iri = ts.next()
+        if iri[0] != "iri":
+            raise SparqlError("PREFIX needs an <iri>")
+        ts.prefixes[name[1][:-1]] = iri[1][1:-1]
     form = ts.expect("SELECT", "CONSTRUCT", "ASK", "DESCRIBE")
     distinct = False
     construct = None
     describe = None
     select = []
     aggs = []
+    sel_binds = []
     if form == "CONSTRUCT":
         construct = _parse_template(ts, base)
     elif form == "ASK":
@@ -564,7 +721,7 @@ def parse(query: str, base: str = DEFAULT_BASE) -> _Query:
     elif form == "DESCRIBE":
         describe = []
         while ts.peek() is not None and ts.peek()[0] in ("var", "iri"):
-            describe.append(_term(ts.next(), base))
+            describe.append(_term(ts.next(), base, ts.prefixes))
         if not describe:
             raise SparqlError("DESCRIBE needs at least one ?var or <iri>")
     else:
@@ -578,8 +735,23 @@ def parse(query: str, base: str = DEFAULT_BASE) -> _Query:
                 select.append(ts.next()[1][1:])
             elif t == ("punct", "("):
                 ts.next()
-                aggs.append(_parse_agg(ts))
-                select.append(aggs[-1][3])
+                nt = ts.peek()
+                if nt is not None and nt[0] == "word" \
+                        and nt[1].upper() in _AGG_FUNCS:
+                    aggs.append(_parse_agg(ts))
+                    select.append(aggs[-1][3])
+                else:
+                    # (expr AS ?v) projection — an implicit BIND
+                    # applied after the WHERE group's own BINDs
+                    e = _parse_expr(ts, base)
+                    ts.expect("AS")
+                    a = ts.next()
+                    if a[0] != "var":
+                        raise SparqlError(
+                            "expression alias must be a variable")
+                    ts.expect(")")
+                    sel_binds.append((a[1][1:], e))
+                    select.append(a[1][1:])
             else:
                 break
         if not select:
@@ -602,16 +774,23 @@ def parse(query: str, base: str = DEFAULT_BASE) -> _Query:
         ts.expect("WHERE")
     q = _Query(select, distinct, [], [], [], None, construct,
                aggs, [], [], [], ask=(form == "ASK"), describe=describe,
-               optionals=[], anon=set())
+               optionals=[], anon=set(), binds=[], having=[])
     if form != "DESCRIBE" or ts.peek() is not None:
         _parse_group(ts, base, q, optional=False)
+    # SELECT expressions evaluate over the group solution, after the
+    # group's own BINDs (so they may reference BIND aliases)
+    q.binds.extend(sel_binds)
     if construct is not None and ts.peek() is not None:
         # the triple SET a CONSTRUCT emits is unordered, so ORDER/LIMIT
         # would be nondeterministic — rejected rather than surprising
         raise SparqlError("CONSTRUCT does not take solution modifiers")
     while ts.peek() is not None:
-        kw = ts.expect("ORDER", "LIMIT", "OFFSET", "GROUP")
-        if kw == "GROUP":
+        kw = ts.expect("ORDER", "LIMIT", "OFFSET", "GROUP", "HAVING")
+        if kw == "HAVING":
+            q.having.append(_parse_cond(ts, base))
+            while ts.peek() == ("punct", "("):
+                q.having.append(_parse_cond(ts, base))
+        elif kw == "GROUP":
             ts.expect("BY")
             while ts.peek() and ts.peek()[0] == "var":
                 q.group.append(ts.next()[1][1:])
@@ -694,6 +873,15 @@ def _validate(q: _Query):
                         f"bound in that group (?{v})")
         seen_opt |= gvars - required
         bound |= gvars
+    for alias, e in q.binds or []:
+        missing = sorted(_expr_vars(e) - bound)
+        if missing:
+            raise SparqlError(
+                f"BIND expression uses unbound variable(s): {missing}")
+        if alias in bound:
+            raise SparqlError(
+                f"BIND alias ?{alias} collides with a bound variable")
+        bound.add(alias)
     if q.describe is not None:
         missing = sorted(n for k, n in q.describe
                          if k == "var" and n not in bound)
@@ -735,10 +923,20 @@ def _validate(q: _Query):
     for kind, var, value in q.filters:
         if var not in bound:
             raise SparqlError(f"FILTER on unbound variable ?{var}")
-        if kind in ("=", "!=") and value[0] == "var" \
+        if kind in _CMP_OPS and value[0] == "var" \
                 and value[1] not in bound:
             raise SparqlError(
                 f"FILTER on unbound variable ?{value[1]}")
+    if q.having and not q.aggs:
+        raise SparqlError("HAVING needs an aggregate query")
+    agg_out = set(q.group or []) | {a[3] for a in q.aggs or []}
+    for kind, var, value in q.having or []:
+        for v in [var] + ([value[1]] if kind in _CMP_OPS
+                          and value[0] == "var" else []):
+            if v not in agg_out:
+                raise SparqlError(
+                    f"HAVING may only use GROUP BY variables or "
+                    f"aggregate aliases (?{v})")
     for names, _ in q.values or []:
         for v in names:
             if v not in bound:
@@ -758,10 +956,21 @@ def _validate(q: _Query):
                 f"{what} block may only share variables bound by "
                 f"required patterns (got optional-only "
                 f"{sorted(shared - required)})")
-    out_vars = (set(q.group) | {a[3] for a in q.aggs}) if q.aggs else bound
+    if q.aggs:
+        out_vars = set(q.group) | {a[3] for a in q.aggs}
+    elif q.select == ["*"]:
+        out_vars = bound - (q.anon or set())
+    else:
+        # restricted to the projected set: SPARQL §15.1 requires this
+        # under DISTINCT anyway (a non-projected sort key would order
+        # by a nondeterministic group representative), and the SQL
+        # twin can only ORDER BY columns its SELECT emits — so both
+        # engines agree by construction
+        out_vars = set(q.select)
     for var, _ in q.order:
         if var not in out_vars:
-            raise SparqlError(f"ORDER BY unbound variable ?{var}")
+            raise SparqlError(
+                f"ORDER BY variable ?{var} is not projected")
 
 
 # ---------------------------------------------------------------------------
@@ -780,10 +989,11 @@ def _bind(df: DataFrame, pos_terms: list, idx: int) -> tuple:
     for pos, (kind, name) in pos_terms:
         if kind == "const":
             df = df.filter(F.col(pos) == name)
-        elif kind == "alt":
-            # predicate alternation: an IN filter, pushed down like
-            # any constant predicate
-            df = df.filter(F.col(pos).isin(*name))
+        elif kind in ("alt", "neg"):
+            # predicate alternation / negated set: an [NOT] IN filter,
+            # pushed down like any constant predicate
+            df = df.filter(F.col(pos).isin(*name) if kind == "alt"
+                           else ~F.col(pos).isin(*name))
         elif name in seen:
             df = df.filter(F.col(pos) == F.col(seen[name]))
         else:
@@ -808,6 +1018,20 @@ def _scan(triples: DataFrame, p: _Pattern, idx: int) -> tuple:
     return _bind(triples, list(zip(_POSITIONS, p.terms)), idx)
 
 
+def _edge_slice(triples: DataFrame, pred_term) -> DataFrame:
+    """The distinct (``_ps``, ``_po``) edge slice a path step walks:
+    a pushed-down equality / [NOT] IN predicate filter over the
+    triples scan, for all three pred kinds (const / alt / neg)."""
+    kind, val = pred_term
+    cond = (F.col("pred") == val if kind == "const"
+            else F.col("pred").isin(*val) if kind == "alt"
+            else ~F.col("pred").isin(*val))
+    return (triples.filter(cond)
+            .select(F.col("subj").alias("_ps"),
+                    F.col("obj").alias("_po"))
+            .distinct())
+
+
 def _path_pairs(triples: DataFrame, p: _Pattern) -> DataFrame:
     """All (``_ps``, ``_po``) pairs the path pattern connects:
     ``<p>+`` = ≥1 edges, ``<p>*`` = that plus the zero-length
@@ -822,13 +1046,11 @@ def _path_pairs(triples: DataFrame, p: _Pattern) -> DataFrame:
     full transitive closure, and that runs semi-naive (delta ⋈ edges
     per round — see `_closure` for the measured case against pointer
     doubling) with `stats_barrier` lineage/stats cuts per round (the
-    Catalyst BigInt-stats trap documented in session.stats_barrier)."""
-    pred = p.terms[1][1]
+    Catalyst BigInt-stats trap documented in session.stats_barrier).
+    A both-variable path whose endpoint is bound by earlier patterns
+    never reaches here — `_solve` routes it to `_scan_seeded`."""
     mode = p.path
-    edges = (triples.filter(F.col("pred") == pred)
-             .select(F.col("subj").alias("_ps"),
-                     F.col("obj").alias("_po"))
-             .distinct())
+    edges = _edge_slice(triples, p.terms[1])
     s_kind, s_val = p.terms[0]
     o_kind, o_val = p.terms[2]
     if s_kind == "const" or o_kind == "const":
@@ -879,6 +1101,78 @@ def _bfs(edges: DataFrame, seed: str, forward: bool) -> DataFrame:
         acc = stats_barrier(acc.unionByName(step))
         frontier = step
     return acc
+
+
+def _bfs_multi(edges: DataFrame, seeds: DataFrame,
+               forward: bool) -> DataFrame:
+    """(``_s`` root, ``_n`` node) pairs: every node reachable from
+    each seed by ≥1 hops. The multi-source generalization of `_bfs`
+    — semi-naive per-root frontiers, so total work is ∝ Σ per-seed
+    reachable set (output-bounded), never the graph's full closure."""
+    from ..session import stats_barrier
+
+    src, dst = ("_ps", "_po") if forward else ("_po", "_ps")
+    frontier = stats_barrier(
+        edges.join(seeds.withColumnRenamed("_s", "_sv"),
+                   F.col(src) == F.col("_sv"))
+        .select(F.col("_sv").alias("_s"), F.col(dst).alias("_n"))
+        .distinct())
+    acc = frontier
+    while not frontier.isEmpty():
+        step = stats_barrier(
+            edges.join(frontier.withColumnRenamed("_n", src), src)
+            .select("_s", F.col(dst).alias("_n")).distinct()
+            .join(acc, ["_s", "_n"], "left_anti"))
+        acc = stats_barrier(acc.unionByName(step))
+        frontier = step
+    return acc
+
+
+def _scan_seeded(triples: DataFrame, p: _Pattern, acc: DataFrame,
+                 bound: set, idx) -> tuple:
+    """A both-variable path pattern whose endpoint variable is already
+    bound by the accumulated join: evaluate it as a multi-source BFS
+    from the DISTINCT bound values instead of materializing the full
+    transitive closure. ``?s <name> "alice" . ?s <knows>+ ?o`` then
+    does work proportional to alice's reachable set, not every
+    reachability pair in the graph — the difference between
+    output-bounded and graph-bounded at 100×.
+
+    The seed set is `stats_barrier`'d: the BFS loop re-references it
+    every round, and without the lineage cut each round would replay
+    the whole upstream join (and Catalyst's BigInt size-stats would
+    square per round — see session.stats_barrier)."""
+    from ..session import stats_barrier
+
+    s_term, o_term = p.terms[0], p.terms[2]
+    forward = s_term[0] == "var" and s_term[1] in bound
+    var = s_term[1] if forward else o_term[1]
+    seeds = stats_barrier(
+        acc.select(F.col(var).alias("_s")).distinct())
+    edges = _edge_slice(triples, p.terms[1])
+    mode = p.path
+    src, dst = ("_ps", "_po") if forward else ("_po", "_ps")
+    if mode == "?":
+        reach = (edges.join(seeds.withColumnRenamed("_s", "_sv"),
+                            F.col(src) == F.col("_sv"))
+                 .select(F.col("_sv").alias("_s"),
+                         F.col(dst).alias("_n")).distinct())
+    else:
+        reach = _bfs_multi(edges, seeds, forward)
+    if mode in ("*", "?"):
+        # zero-length: each seed relates to itself. Seeds come from
+        # pattern scans of the triples table, so they are graph terms
+        # — exactly the identity rows the unseeded form would keep
+        # after the join.
+        reach = reach.unionByName(
+            seeds.select("_s", F.col("_s").alias("_n"))).distinct()
+    pairs = (reach.select(F.col("_s").alias("_ps"),
+                          F.col("_n").alias("_po"))
+             if forward else
+             reach.select(F.col("_n").alias("_ps"),
+                          F.col("_s").alias("_po")))
+    return _bind(pairs, list(zip(("_ps", "_po"), (s_term, o_term))),
+                 idx)
 
 
 def _closure(edges: DataFrame) -> DataFrame:
@@ -951,12 +1245,22 @@ def _solve(triples: DataFrame, q: _Query) -> tuple:
     required = list(q.patterns)
     # most-constants-first: ground/selective patterns shrink the join
     # early; AQE re-plans the rest at runtime. Path patterns go last —
-    # their pair sets are closure-sized, not scan-sized.
+    # their pair sets are closure-sized, not scan-sized — which also
+    # maximizes the chance an endpoint variable is already bound so
+    # the closure can seed from the bound values (_scan_seeded).
     required.sort(key=lambda p: (bool(p.path), -p.n_const))
 
     acc, bound = _scan_any(triples, required[0], 0)
     for i, p in enumerate(required[1:], start=1):
-        frame, pvars = _scan_any(triples, p, i)
+        if isinstance(p, _Pattern) and p.path \
+                and p.terms[0][0] == "var" and p.terms[2][0] == "var" \
+                and bound & {p.terms[0][1], p.terms[2][1]}:
+            # both-variable path with a bound endpoint: seeded BFS
+            # instead of the full closure (a const endpoint already
+            # seeds inside _path_pairs)
+            frame, pvars = _scan_seeded(triples, p, acc, bound, i)
+        else:
+            frame, pvars = _scan_any(triples, p, i)
         on = sorted(bound & pvars)
         acc = acc.join(frame, on=on) if on else acc.crossJoin(frame)
         bound |= pvars
@@ -973,6 +1277,12 @@ def _solve(triples: DataFrame, q: _Query) -> tuple:
         acc = acc.join(frame, on=on, how="left")
         bound |= gvars
 
+    # BINDs and SELECT expressions: plain Column projections over the
+    # solution frame, evaluated in declaration order so later binds
+    # may reference earlier aliases
+    for alias, e in q.binds or []:
+        acc = acc.withColumn(alias, _expr_col(e))
+        bound = bound | {alias}
     for kind, var, value in q.filters:
         acc = acc.filter(_filter_cond(kind, var, value))
     for names, rows in q.values or []:
@@ -998,13 +1308,39 @@ def _solve(triples: DataFrame, q: _Query) -> tuple:
 
 def _filter_cond(kind, var, value):
     c = F.col(var)
-    if kind in ("=", "!="):
+    if kind in _CMP_OPS:
         vk, vv = value
-        rhs = F.col(vv) if vk == "var" else F.lit(vv)
-        return c == rhs if kind == "=" else c != rhs
+        if vk == "num":
+            # numeric comparison is by VALUE (§17.3): a binding with
+            # no integer value has no numeric value and the filter
+            # drops it — try_cast → NULL → false, exactly the twin's
+            # TRY_CAST(... AS BIGINT) semantics (and a no-op on
+            # already-long aggregate aliases under HAVING)
+            c = c.try_cast("long")
+            rhs = F.lit(vv)
+        else:
+            rhs = F.col(vv) if vk == "var" else F.lit(vv)
+        return {"=": c == rhs, "!=": c != rhs, "<": c < rhs,
+                ">": c > rhs, "<=": c <= rhs, ">=": c >= rhs}[kind]
     return {"REGEX": lambda: c.rlike(value),
             "CONTAINS": lambda: c.contains(value),
             "STRSTARTS": lambda: c.startswith(value)}[kind]()
+
+
+def _expr_col(e):
+    """BIND / projection expression tree → a Column."""
+    if e[0] == "var":
+        return F.col(e[1])
+    if e[0] == "const":
+        return F.lit(e[1])
+    args = [_expr_col(a) for a in e[2]]
+    # NULL propagation matches the twin: concat/upper/lower/length of
+    # an unbound (NULL) argument is NULL in both engines
+    return {"CONCAT": lambda: F.concat(*args),
+            "UCASE": lambda: F.upper(args[0]),
+            "LCASE": lambda: F.lower(args[0]),
+            "STR": lambda: args[0],
+            "STRLEN": lambda: F.length(args[0])}[e[1]]()
 
 
 def _all_of(conds):
@@ -1103,10 +1439,15 @@ def compile_bgp(triples: DataFrame, q: _Query) -> DataFrame:
         return _construct(acc, q.construct)
     if q.aggs:
         # one partial-aggregated shuffle on the group keys; an empty
-        # GROUP BY is the single-group global aggregate
+        # GROUP BY is the single-group global aggregate. HAVING
+        # filters the aggregated frame BEFORE the projection, so it
+        # may reference group keys the SELECT drops.
         acc = acc.groupBy(*q.group).agg(
             *[_agg_expr(f, a, d, sep).alias(alias)
-              for f, a, d, alias, sep in q.aggs]).select(*q.select)
+              for f, a, d, alias, sep in q.aggs])
+        for cond in q.having or []:
+            acc = acc.filter(_filter_cond(*cond))
+        acc = acc.select(*q.select)
     else:
         # SELECT * never exposes sequence-desugar variables
         out_cols = (sorted(bound - (q.anon or set()))
@@ -1174,11 +1515,8 @@ def to_sql(q: _Query, table: str = "triples") -> str:
             pos_terms = list(zip(_POSITIONS, p.terms))
         local_conds = []
         for pos, (kind, name) in pos_terms:
-            if kind == "const":
-                local_conds.append(f"{t}.{pos} = {_sql_str(name)}")
-            elif kind == "alt":
-                vals = ", ".join(_sql_str(v) for v in name)
-                local_conds.append(f"{t}.{pos} IN ({vals})")
+            if kind in ("const", "alt", "neg"):
+                local_conds.append(_pred_sql(f"{t}.{pos}", (kind, name)))
             elif name in seen_vars:
                 local_conds.append(f"{t}.{pos} = {seen_vars[name]}")
             else:
@@ -1204,6 +1542,10 @@ def to_sql(q: _Query, table: str = "triples") -> str:
         joins.append(f"LEFT JOIN ({sub}) {t} ON "
                      + (" AND ".join(local) or "TRUE"))
     aliases = seen_vars
+    for alias, e in q.binds or []:
+        # a bind alias maps to its (parenthesized) SQL expression, so
+        # later filters/projections reference the expression inline
+        aliases[alias] = _expr_sql(e, aliases)
     for kind, var, value in q.filters:
         filt_parts.append(_filter_sql(kind, aliases[var], value,
                                       aliases))
@@ -1279,6 +1621,14 @@ def to_sql(q: _Query, table: str = "triples") -> str:
         sql = f"{with_clause}SELECT {sel} {frm}"
         if q.group:
             sql += " GROUP BY " + ", ".join(aliases[v] for v in q.group)
+        if q.having:
+            # the aggregate expression is inlined (not the output
+            # alias) so HAVING may reference aliases the SELECT drops
+            hav = [_filter_sql(kind, agg_sql.get(var, aliases.get(var)),
+                               value,
+                               {**aliases, **agg_sql})
+                   for kind, var, value in q.having]
+            sql += " HAVING " + " AND ".join(hav)
         if q.order:
             sql += " ORDER BY " + ", ".join(_order_sql(v, asc)
                                             for v, asc in q.order)
@@ -1314,11 +1664,8 @@ def _branch_sql(patterns: list, table: str, prefix: str,
         joins.append(f"{table} {t}" if k == 0
                      else f"CROSS JOIN {table} {t}")
         for pos, (kind, name) in zip(_POSITIONS, p.terms):
-            if kind == "const":
-                conds.append(f"{t}.{pos} = {_sql_str(name)}")
-            elif kind == "alt":
-                vals = ", ".join(_sql_str(v) for v in name)
-                conds.append(f"{t}.{pos} IN ({vals})")
+            if kind in ("const", "alt", "neg"):
+                conds.append(_pred_sql(f"{t}.{pos}", (kind, name)))
             elif name in seen:
                 conds.append(f"{t}.{pos} = {seen[name]}")
             else:
@@ -1351,11 +1698,8 @@ def _group_sql(patterns: list, filters: list, table: str, prefix: str,
             pos_terms = list(zip(_POSITIONS, p.terms))
         joins.append(f"{tbl} {t}" if k == 0 else f"CROSS JOIN {tbl} {t}")
         for pos, (kind, name) in pos_terms:
-            if kind == "const":
-                conds.append(f"{t}.{pos} = {_sql_str(name)}")
-            elif kind == "alt":
-                vals = ", ".join(_sql_str(v) for v in name)
-                conds.append(f"{t}.{pos} IN ({vals})")
+            if kind in ("const", "alt", "neg"):
+                conds.append(_pred_sql(f"{t}.{pos}", (kind, name)))
             elif name in seen:
                 conds.append(f"{t}.{pos} = {seen[name]}")
             else:
@@ -1372,16 +1716,17 @@ def _path_tbl(p: "_Pattern", table: str, name: str, ctes: list) -> str:
     ``<p>+`` recursive CTE, and for ``*`` / ``?`` a union with the
     zero-length identity rows (every graph term, plus any ground
     endpoint even off-graph — mirroring ``_path_pairs``)."""
-    ps = _sql_str(p.terms[1][1])
+    pc = _pred_sql("pred", p.terms[1])
     if p.path == "?":
-        base = f"SELECT subj AS s, obj AS o FROM {table} WHERE pred = {ps}"
+        base = f"SELECT subj AS s, obj AS o FROM {table} WHERE {pc}"
     else:
         cte = f"path{name}"
         ctes.append(
             f"{cte}(s, o) AS ("
-            f"SELECT subj, obj FROM {table} WHERE pred = {ps} "
+            f"SELECT subj, obj FROM {table} WHERE {pc} "
             f"UNION SELECT r.s, e.obj FROM {cte} r "
-            f"JOIN {table} e ON e.subj = r.o AND e.pred = {ps})")
+            f"JOIN {table} e ON e.subj = r.o "
+            f"AND {_pred_sql('e.pred', p.terms[1])})")
         if p.path == "+":
             return cte
         base = f"SELECT s, o FROM {cte}"
@@ -1393,11 +1738,43 @@ def _path_tbl(p: "_Pattern", table: str, name: str, ctes: list) -> str:
     return f"({base} UNION {ident})"
 
 
+def _pred_sql(col: str, pred_term) -> str:
+    """A pred-position term → its SQL condition (=, IN, NOT IN)."""
+    kind, val = pred_term
+    if kind == "const":
+        return f"{col} = {_sql_str(val)}"
+    vals = ", ".join(_sql_str(v) for v in val)
+    return f"{col} {'IN' if kind == 'alt' else 'NOT IN'} ({vals})"
+
+
+def _expr_sql(e, aliases: dict) -> str:
+    """BIND / projection expression tree → a SQL expression. `` || ``
+    (not concat()) so an unbound/NULL argument propagates NULL exactly
+    like Spark's F.concat."""
+    if e[0] == "var":
+        return aliases[e[1]]
+    if e[0] == "const":
+        return _sql_str(e[1])
+    func, args = e[1], [_expr_sql(a, aliases) for a in e[2]]
+    if func == "CONCAT":
+        return "(" + " || ".join(args) + ")"
+    return {"UCASE": f"upper({args[0]})",
+            "LCASE": f"lower({args[0]})",
+            "STR": args[0],
+            "STRLEN": f"length({args[0]})"}[func]
+
+
+_SQL_OPS = {"=": "=", "!=": "<>", "<": "<", ">": ">",
+            "<=": "<=", ">=": ">="}
+
+
 def _filter_sql(kind: str, v: str, value, aliases: dict) -> str:
-    if kind in ("=", "!="):
+    if kind in _SQL_OPS:
         vk, vv = value
+        if vk == "num":
+            return f"TRY_CAST({v} AS BIGINT) {_SQL_OPS[kind]} {vv}"
         s = aliases[vv] if vk == "var" else _sql_str(vv)
-        return f"{v} = {s}" if kind == "=" else f"{v} <> {s}"
+        return f"{v} {_SQL_OPS[kind]} {s}"
     s = _sql_str(value)
     return {"REGEX": f"regexp_matches({v}, {s})",
             "CONTAINS": f"contains({v}, {s})",

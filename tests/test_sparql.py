@@ -859,3 +859,167 @@ def test_duckdb_twin_on_pipeline_triples(spark):
     for q in queries:
         got = srt(map(tuple, S.sparql(df, q).collect()))
         assert got == _twin(rows, q), q
+
+
+# ---------------------------------------------------------------------------
+# round 6: seeded path closures, negated sets, (a|b)+, PREFIX, numeric
+# FILTER / HAVING, BIND / expression projection
+# ---------------------------------------------------------------------------
+
+def test_seeded_path_skips_full_closure(triples, monkeypatch):
+    """A both-variable path whose endpoint is bound by earlier
+    patterns must evaluate as a seeded BFS — `_closure` (the full
+    transitive closure) may not run."""
+    calls = []
+    orig = S._closure
+    monkeypatch.setattr(
+        S, "_closure", lambda e: calls.append(1) or orig(e))
+    got = run(triples, """
+        SELECT ?s ?o WHERE { ?s "mutate" ?g . ?s "infect"+ ?o }""")
+    assert got == [("virus x", "cell")]
+    assert calls == []
+    # ...while the genuinely unbound form still pays the closure
+    run(triples, 'SELECT ?a ?b WHERE { ?a "contain"+ ?b }')
+    assert calls
+
+
+def test_seeded_path_backward(triples):
+    # object endpoint bound → reverse BFS from the bound values
+    got = run(triples, """
+        SELECT ?s ?o WHERE { ?o "encode" ?p . ?s "contain"+ ?o }""")
+    assert got == [("cell", "genome"), ("host", "genome")]
+
+
+def test_seeded_star_and_optional_paths(triples):
+    got = run(triples, """
+        SELECT ?s ?o WHERE { ?s "mutate" ?g . ?s "contain"* ?o }""")
+    assert got == [("virus x", "virus x")]
+    got = run(triples, """
+        SELECT ?g ?o WHERE { ?g "encode" ?p . ?g "contain"? ?o }""")
+    assert got == [("genome", "genome")]
+
+
+def test_seeded_path_matches_unseeded_twin(triples):
+    for q in [
+        'SELECT ?s ?o WHERE { ?s "mutate" ?g . ?s "infect"+ ?o }',
+        'SELECT ?s ?o WHERE { ?o "encode" ?p . ?s "contain"+ ?o }',
+        ('SELECT ?s ?x ?o WHERE { ?s "infect" ?x . ?x "contain" ?o . '
+         '?s "infect"+ ?o }'),
+        'SELECT ?s ?o WHERE { ?s "mutate" ?g . ?s "contain"* ?o }',
+    ]:
+        assert run(triples, q) == _twin(TRIPLES, q), q
+
+
+def test_negated_property_set(triples):
+    got = run(triples, 'SELECT ?s ?o WHERE { ?s !"contain" ?o . '
+                       'FILTER(STRSTARTS(?s, "g")) }')
+    assert got == [("genome", "protein")]
+    got = run(triples, """
+        SELECT ?s ?o WHERE { ?s !("infect"|"contain"|"encode") ?o }""")
+    assert got == [("virus x", "genome")]
+
+
+def test_alternation_under_path_modifier(triples):
+    # host -contain-> cell -contain-> genome -encode-> protein is
+    # reachable under ("contain"|"encode")+ but not "contain"+
+    got = run(triples, """
+        SELECT ?o WHERE { <host> ("contain"|"encode")+ ?o }""")
+    assert got == [("cell",), ("genome",), ("protein",)]
+    bad = 'SELECT ?a WHERE { ?a "contain"|"encode"+ ?b }'
+    with pytest.raises(S.SparqlError):
+        S.parse(bad)
+
+
+def test_prefix_declarations(triples):
+    base = S.DEFAULT_BASE
+    got = run(triples, f"""
+        PREFIX ex: <{base}>
+        SELECT ?o WHERE {{ ex:ebola ex:infect ?o }}""")
+    assert got == [("cell",), ("host",)]
+    with pytest.raises(S.SparqlError):
+        S.parse('SELECT ?o WHERE { ex:ebola "infect" ?o }')
+
+
+def test_numeric_filter_and_having(triples):
+    got = run(triples, """
+        SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o }
+        GROUP BY ?s HAVING (?n >= 2)""")
+    assert got == [("ebola", 2), ("virus x", 2)]
+    # typed-literal form, and HAVING on a group var the SELECT drops
+    got = run(triples, """
+        SELECT ?n WHERE { ?s ?p ?o }
+        GROUP BY ?s HAVING (?n >= "2"^^xsd:integer) HAVING (?s = "ebola")
+        """.replace("SELECT ?n", "SELECT (COUNT(?o) AS ?n)"))
+    assert got == [(2,)]
+    # numeric FILTER over string bindings: no numeric value → dropped
+    got = run(triples, 'SELECT ?o WHERE { ?s "mutate" ?o . '
+                       'FILTER(?o > 3) }')
+    assert got == []
+
+
+def test_bind_and_select_expressions(triples):
+    got = run(triples, """
+        SELECT ?s ?b WHERE { ?s "mutate" ?o .
+          BIND (CONCAT(?s, ":", UCASE(?o)) AS ?b) }""")
+    assert got == [("virus x", "virus x:GENOME")]
+    got = run(triples, """
+        SELECT ?s (STRLEN(?s) AS ?l) WHERE { ?s "mutate" ?o }""")
+    assert got == [("virus x", 7)]
+    # BIND over an OPTIONAL variable propagates NULL
+    got = run(triples, """
+        SELECT ?s ?u WHERE { ?s "infect" ?x .
+          OPTIONAL { ?x "mutate" ?g } BIND (UCASE(?g) AS ?u) }""")
+    assert got == [("ebola", None), ("ebola", None), ("virus x", None)]
+
+
+def test_round6_validation_errors(triples):
+    bad = [
+        # ORDER BY a non-projected variable
+        'SELECT ?s WHERE { ?s "infect" ?o } ORDER BY ?o',
+        'SELECT DISTINCT ?s WHERE { ?s "infect" ?o } ORDER BY ?o',
+        # HAVING without aggregates / on a non-grouped var
+        'SELECT ?s WHERE { ?s "infect" ?o } HAVING (?s = "x")',
+        ('SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s "infect" ?o } '
+         'GROUP BY ?s HAVING (?o = "x")'),
+        # ordering operator with a non-numeric RHS
+        'SELECT ?s WHERE { ?s "infect" ?o . FILTER(?o > "cell") }',
+        # BIND alias collision / unbound expression var
+        ('SELECT ?s WHERE { ?s "infect" ?o . '
+         'BIND (UCASE(?o) AS ?s) }'),
+        'SELECT ?s WHERE { ?s "infect" ?o . BIND (UCASE(?zz) AS ?u) }',
+        # negated set needs constants
+        'SELECT ?s WHERE { ?s !?p ?o }',
+        # unsupported datatype
+        ('SELECT ?s WHERE { ?s "infect" ?o . '
+         'FILTER(?o > "x"^^xsd:string) }'),
+    ]
+    for q in bad:
+        with pytest.raises(S.SparqlError):
+            S.sparql(triples, q)
+
+
+ROUND6_TWIN_QUERIES = [
+    'SELECT ?s ?o WHERE { ?s !"infect" ?o }',
+    'SELECT ?s ?o WHERE { ?s !("infect"|"contain") ?o }',
+    'SELECT ?a ?b WHERE { ?a ("infect"|"contain")+ ?b }',
+    'SELECT ?a ?b WHERE { ?a !"encode"* ?b }',
+    ('SELECT ?s ?b WHERE { ?s "mutate" ?g . '
+     '?s ("infect"|"mutate")+ ?b }'),
+    ('SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s '
+     'HAVING (?n >= 2) ORDER BY ?s'),
+    ('SELECT ?p (COUNT(DISTINCT ?s) AS ?heads) WHERE { ?s ?p ?o } '
+     'GROUP BY ?p HAVING (?heads < 3) HAVING (?p != "encode")'),
+    ('SELECT ?s ?b WHERE { ?s "infect" ?o . '
+     'BIND (CONCAT(?s, "->", ?o) AS ?b) }'),
+    'SELECT ?s (STRLEN(?s) AS ?l) WHERE { ?s "mutate" ?o }',
+    ('SELECT ?s ?u WHERE { ?s "infect" ?x . '
+     'OPTIONAL { ?x "mutate" ?g } BIND (LCASE(?g) AS ?u) }'),
+    ('SELECT ?s ?o WHERE { ?s "infect" ?o . FILTER(?o != "host") '
+     'FILTER(STRSTARTS(?o, "c")) }'),
+    'SELECT ?o WHERE { ?s "mutate" ?o . FILTER(?o > 3) }',
+]
+
+
+@pytest.mark.parametrize("query", ROUND6_TWIN_QUERIES)
+def test_duckdb_twin_round6(triples, query):
+    assert run(triples, query) == _twin(TRIPLES, query)
