@@ -1471,6 +1471,21 @@ def sparql(triples: DataFrame, query: str,
     return compile_bgp(triples, parse(query, base))
 
 
+def sparql_at(spark, table_base: str, query: str,
+              version: int | None = None,
+              base: str = DEFAULT_BASE) -> DataFrame:
+    """Time-travel SPARQL: run ``query`` against a snapshotted triples
+    table (``plans/snapshots``) at any retained version — current by
+    default. The Iceberg-style ``VERSION AS OF`` composition as one
+    API: ``sparql_at(spark, kg_dir, q, version=3)`` asks "what did the
+    KG answer at refresh 3?", and running the same CONSTRUCT at two
+    versions diffs a rule's derivations across refreshes."""
+    from ..plans import snapshots
+
+    return sparql(snapshots.read(spark, table_base, version),
+                  query, base)
+
+
 def to_sql(q: _Query, table: str = "triples") -> str:
     """The same query as ANSI SQL over ``table(subj, pred, obj)`` —
     the independent DuckDB twin used by the tests (and usable as an

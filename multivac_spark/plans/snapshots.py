@@ -6,9 +6,10 @@ tables; ``plans/tables.py`` reproduces Iceberg's *physical* layout
 (bucket partitioning, clustered sorts) on plain parquet but, as its
 docstring notes, "minus snapshot isolation". This module supplies that
 missing half — the metadata layer Iceberg keeps in its snapshot log
-(reference counterpart: the pickle checkpoint dirs of
-``multivac/src/data/make_dataset.py`` which keep only ONE implicit
-version and no history):
+(reference counterpart: the single-file pickle checkpoints at
+``src/rdf_graph/rdf_graph.py:137`` (``all_tuples.pickle``) and
+``src/data/parsing.py:312-324`` (``allDocsClean.pkl``), which keep
+only ONE implicit version and no history):
 
 * **commit** — write a new immutable version directory, then
   atomically swap a JSON manifest (``os.replace``). Readers follow the

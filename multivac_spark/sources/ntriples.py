@@ -48,8 +48,14 @@ def _encode_iri(col, base: str):
 
 
 def _decode_iri(col, base: str):
-    """Inverse of _encode_iri for IRIs under base; foreign IRIs are
-    returned whole (still decoded of percent-escapes they carry).
+    """Inverse of _encode_iri for IRIs under ``base``; foreign IRIs
+    pass through VERBATIM (after UCHAR unescape, which is file-format
+    encoding, not IRI content). Percent-decoding a third-party IRI
+    would corrupt its own escaped bytes — and a raw ``%`` not followed
+    by two hex digits is legal per the IRIREF grammar but makes
+    ``url_decode`` throw, which would fail the entire read job on one
+    foreign line. Only IRIs we minted (under ``base``) are guaranteed
+    url_decode-safe, so only they are decoded.
     Raw ``+`` is re-escaped before ``url_decode`` so it survives as a
     literal plus (RFC 3986 semantics) instead of form-decoding to a
     space — a no-op for our own IRIs, which never contain raw ``+``.
@@ -64,10 +70,11 @@ def _decode_iri(col, base: str):
 
     decoded = F.when(col.contains("\\"),
                      _unescape_uchar(col)).otherwise(col)
-    return bound(decoded, lambda c: F.url_decode(F.regexp_replace(
-        F.when(c.startswith(base),
-               F.substring(c, len(base) + 1, 1 << 20)).otherwise(c),
-        r"\+", "%2B")))
+    return bound(decoded, lambda c: F.when(
+        c.startswith(base),
+        F.url_decode(F.regexp_replace(
+            F.substring(c, len(base) + 1, 1 << 20), r"\+", "%2B")))
+        .otherwise(c))
 
 
 def _unescape_uchar(col):

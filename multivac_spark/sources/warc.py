@@ -7,10 +7,14 @@ The reference ingests HTML/PDF fetched per-article over APIs
 crawl containers, so this module closes that ingestion gap Spark-first:
 
 * **Sink** (`write_warc`): one ``.warc.gz`` per input partition,
-  written executor-side (``mapInPandas`` — no driver funnel, no
-  collect). Records follow the public WARC/1.0 spec: a ``warcinfo``
-  header record per file, then one ``response`` record per page with
-  an ``HTTP/1.1 200 OK`` block wrapping the payload. The generator's
+  written executor-side (``mapInPandas`` — no driver byte funnel;
+  only per-partition (filename, count) metadata returns for the
+  shared-filesystem completeness check). Records follow the public
+  WARC/1.0 spec: a ``warcinfo`` header record per file, then one
+  ``response`` record per page with an ``HTTP/1.1 200 OK`` block
+  wrapping the payload (``full_records=True`` adds the Common Crawl
+  ``request``/``metadata`` records threaded to their response via
+  ``WARC-Concurrent-To``). The generator's
   ``lang`` column rides Common Crawl's real extension header
   ``WARC-Identified-Content-Language`` so a read-back reconstructs the
   full documents schema with zero side-channel.
@@ -89,10 +93,30 @@ def _http_block(payload: bytes) -> bytes:
             + payload)
 
 
-def make_warc_file(rows: list[dict], filename: str = "part") -> bytes:
+def _request_block(url: str) -> bytes:
+    """Minimal stored HTTP/1.1 request (msgtype=request payloads)."""
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(url)
+    path = parts.path or "/"
+    if parts.query:
+        path += "?" + parts.query
+    return (f"GET {path} HTTP/1.1\r\n"
+            f"Host: {parts.netloc}\r\n\r\n").encode("utf-8")
+
+
+def make_warc_file(rows: list[dict], filename: str = "part",
+                   full_records: bool = False) -> bytes:
     """Serialize rows (url, warc_ts, html, lang) into one gzipped WARC
     file: warcinfo record + one response record per row. Record IDs
-    are deterministic (url-derived) so output is reproducible."""
+    are deterministic (url-derived) so output is reproducible.
+
+    ``full_records=True`` emits the Common Crawl record triple per
+    page — ``request``, ``response``, ``metadata`` in crawl order —
+    with each request/metadata record's ``WARC-Concurrent-To`` header
+    pointing at its response's ``WARC-Record-ID`` (spec §5.7
+    concurrent-record threading). The reader keeps only response
+    records either way, so read-back is identical."""
     buf = io.BytesIO()
     info = (b"software: multivac-spark\r\nformat: WARC File Format 1.0\r\n")
     chunks = [_record("warcinfo", [
@@ -103,9 +127,19 @@ def make_warc_file(rows: list[dict], filename: str = "part") -> bytes:
     ], info)]
     for r in rows:
         html = r["html"] if r["html"] is not None else b""
+        rid = f"<urn:multivac:response:{r['url']}>"
+        date = _warc_date(r["warc_ts"])
+        if full_records:
+            chunks.append(_record("request", [
+                ("WARC-Record-ID", f"<urn:multivac:request:{r['url']}>"),
+                ("WARC-Date", date),
+                ("WARC-Target-URI", r["url"]),
+                ("WARC-Concurrent-To", rid),
+                ("Content-Type", "application/http; msgtype=request"),
+            ], _request_block(r["url"])))
         hdrs = [
-            ("WARC-Record-ID", f"<urn:multivac:response:{r['url']}>"),
-            ("WARC-Date", _warc_date(r["warc_ts"])),
+            ("WARC-Record-ID", rid),
+            ("WARC-Date", date),
             ("WARC-Target-URI", r["url"]),
             ("Content-Type", "application/http; msgtype=response"),
         ]
@@ -113,17 +147,42 @@ def make_warc_file(rows: list[dict], filename: str = "part") -> bytes:
             # Common Crawl's real extension header (added 2018)
             hdrs.append(("WARC-Identified-Content-Language", r["lang"]))
         chunks.append(_record("response", hdrs, _http_block(html)))
+        if full_records:
+            meta = (f"fetchTimeMs: 0\r\n"
+                    f"charset-detected: UTF-8\r\n").encode("ascii")
+            chunks.append(_record("metadata", [
+                ("WARC-Record-ID",
+                 f"<urn:multivac:metadata:{r['url']}>"),
+                ("WARC-Date", date),
+                ("WARC-Target-URI", r["url"]),
+                ("WARC-Concurrent-To", rid),
+                ("Content-Type", "application/warc-fields"),
+            ], meta))
     with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
         for c in chunks:
             gz.write(c)
     return buf.getvalue()
 
 
-def write_warc(docs: DataFrame, out_dir: str) -> int:
+def write_warc(docs: DataFrame, out_dir: str,
+               full_records: bool = False) -> int:
     """Write a documents DataFrame as one ``.warc.gz`` per partition,
     executor-side (the sink never funnels bytes through the driver).
-    Returns the number of files written. Filenames are partition-
-    indexed and deterministic for a fixed partitioning."""
+    Returns the number of rows written. Filenames are partition-
+    indexed and deterministic for a fixed partitioning;
+    ``full_records`` emits the request/response/metadata record
+    triple per page (see ``make_warc_file``).
+
+    **Filesystem contract**: ``out_dir`` must be a filesystem shared
+    by executors and driver — local mode's local disk, or on a real
+    cluster NFS / a FUSE-mounted object store (the standard mount for
+    Python-side file writes; Python workers cannot reach the JVM's
+    Hadoop FileSystem API from inside ``mapInPandas``). Writing to a
+    worker-LOCAL path would scatter the part files across machines,
+    so after the action the driver verifies every reported part file
+    is visible at ``out_dir`` and raises if any is missing — a
+    misconfigured path fails loudly instead of silently dropping
+    archives."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -138,16 +197,25 @@ def write_warc(docs: DataFrame, out_dir: str) -> int:
         if rows:
             rows.sort(key=lambda r: r["url"])  # stable within file
             name = f"part-{pid:05d}.warc.gz"
-            data = make_warc_file(rows, name)
+            data = make_warc_file(rows, name, full_records=full_records)
             tmp = os.path.join(out_dir, f".{name}.tmp")
             with open(tmp, "wb") as f:
                 f.write(data)
             os.replace(tmp, os.path.join(out_dir, name))
-            yield pd.DataFrame({"n": [len(rows)]})
+            yield pd.DataFrame({"name": [name], "n": [len(rows)]})
 
-    n = (docs.select(*cols).mapInPandas(dump, schema="n long")
-         .agg({"n": "count"}).collect()[0][0])
-    return int(n)
+    parts = (docs.select(*cols)
+             .mapInPandas(dump, schema="name string, n long")
+             .collect())  # bounded: one row per non-empty partition
+    missing = [p["name"] for p in parts
+               if not os.path.exists(os.path.join(out_dir, p["name"]))]
+    if missing:
+        raise RuntimeError(
+            f"write_warc: {len(missing)} part file(s) not visible at "
+            f"{out_dir!r} from the driver (e.g. {missing[:3]}); "
+            "executors wrote to a non-shared filesystem — point "
+            "out_dir at storage mounted on every node")
+    return int(sum(p["n"] for p in parts))
 
 
 def parse_warc_bytes(data: bytes) -> list[dict]:

@@ -78,8 +78,24 @@ def test_comments_blank_lines_and_foreign_iris(spark, tmp_path):
         "<http://multivac-kg.local/gamma> .\n"
         '<http://multivac-kg.local/s> <http://multivac-kg.local/p> "" .\n')
     rows = sorted(map(tuple, nt.read_ntriples(spark, str(p)).collect()))
-    assert rows == [("http://example.org/Foo Bar", "is_a", "gamma"),
+    # foreign IRIs pass through VERBATIM — their percent-escapes are
+    # their own bytes, not ours to decode
+    assert rows == [("http://example.org/Foo%20Bar", "is_a", "gamma"),
                     ("s", "p", "")]
+
+
+def test_foreign_iri_with_raw_percent_does_not_fail(spark, tmp_path):
+    """A raw '%' not followed by two hex digits is legal IRIREF; it
+    must not blow up the whole read (url_decode would throw on it)."""
+    p = tmp_path / "rawpct"
+    p.mkdir()
+    (p / "x.nt").write_text(
+        "<http://example.org/100%25ok> "
+        "<http://example.org/a%b> "
+        "<http://multivac-kg.local/a%20b> .\n")
+    rows = [tuple(r) for r in nt.read_ntriples(spark, str(p)).collect()]
+    assert rows == [("http://example.org/100%25ok",
+                     "http://example.org/a%b", "a b")]
 
 
 def test_malformed_line_fails_fast(spark, tmp_path):

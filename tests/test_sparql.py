@@ -1023,3 +1023,27 @@ ROUND6_TWIN_QUERIES = [
 @pytest.mark.parametrize("query", ROUND6_TWIN_QUERIES)
 def test_duckdb_twin_round6(triples, query):
     assert run(triples, query) == _twin(TRIPLES, query)
+
+
+def test_sparql_time_travel_over_snapshots(spark, tmp_path):
+    """sparql_at queries any retained KG snapshot; the same CONSTRUCT
+    run at two versions diffs a rule's derivations across refreshes."""
+    from multivac_spark.plans import snapshots
+
+    base = str(tmp_path / "kg")
+    v1 = snapshots.commit(spark, base, spark.createDataFrame(
+        TRIPLES, "subj string, pred string, obj string"))
+    extra = TRIPLES + [("ebola", "infect", "organ")]
+    v2 = snapshots.commit(spark, base, spark.createDataFrame(
+        extra, "subj string, pred string, obj string"))
+
+    q = 'SELECT (COUNT(*) AS ?n) WHERE { ?s "infect" ?o }'
+    assert S.sparql_at(spark, base, q, version=v1).collect()[0][0] == 3
+    assert S.sparql_at(spark, base, q).collect()[0][0] == 4  # current
+
+    rule = 'CONSTRUCT { ?o "infected_by" ?s } WHERE { ?s "infect" ?o }'
+    derived = lambda v: {tuple(r) for r in
+                         S.sparql_at(spark, base, rule, version=v)
+                         .collect()}
+    assert derived(v2) - derived(v1) == {("organ", "infected_by",
+                                          "ebola")}

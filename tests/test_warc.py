@@ -100,8 +100,11 @@ def _canon(df):
 
 def test_distributed_roundtrip_equals_generator(docs120, spark, tmp_path):
     out = str(tmp_path / "warcs")
+    import os
     n = warc.write_warc(docs120, out)
-    assert n == 4  # one .warc.gz per partition
+    assert n == 120  # total rows written
+    files = [f for f in os.listdir(out) if f.endswith(".warc.gz")]
+    assert len(files) == 4  # one .warc.gz per partition
     back = warc.read_warc(spark, out)
     assert _canon(back) == _canon(docs120)
 
@@ -199,3 +202,77 @@ def test_warc11_fractional_dates_and_folded_headers():
     assert rows[0]["lang"] == "en"
     assert rows[1]["warc_ts"] == datetime(2021, 6, 2, 3, 4, 5, 500000)
     assert rows[0]["html"] == b"<html>y</html>"
+
+
+# ---------------------------------------------------------------------------
+# round 6: full record types + Concurrent-To threading, loud
+# shared-filesystem check
+# ---------------------------------------------------------------------------
+
+def _raw_records(data: bytes) -> list[dict]:
+    """Independent header-level re-parse (framing only) so the
+    threading assertions don't share code with the reader under test."""
+    data = gzip.decompress(data) if data[:2] == b"\x1f\x8b" else data
+    recs, pos = [], 0
+    while pos < len(data):
+        while data[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= len(data):
+            break
+        hend = data.index(b"\r\n\r\n", pos)
+        hdrs = dict(
+            line.split(": ", 1)
+            for line in data[pos:hend].decode("utf-8").split("\r\n")[1:]
+            if ": " in line)
+        clen = int(hdrs["Content-Length"])
+        recs.append({**hdrs, "_body": data[hend + 4:hend + 4 + clen]})
+        pos = hend + 4 + clen
+    return recs
+
+
+def test_full_records_roundtrip_and_threading():
+    rows = [_row(url="https://h.example/a"),
+            _row(url="https://h.example/b?q=1", html=b"<p>b</p>",
+                 lang="de")]
+    data = warc.make_warc_file(rows, "f.warc.gz", full_records=True)
+
+    # the reader keeps only response records: read-back identical to
+    # the responses-only file
+    assert warc.parse_warc_bytes(data) == warc.parse_warc_bytes(
+        warc.make_warc_file(rows, "f.warc.gz"))
+
+    recs = _raw_records(data)
+    types = [r["WARC-Type"] for r in recs]
+    assert types == ["warcinfo"] + ["request", "response",
+                                    "metadata"] * 2
+    ids = [r["WARC-Record-ID"] for r in recs]
+    assert len(set(ids)) == len(ids)  # globally unique per record
+    for req, resp, meta in zip(recs[1::3], recs[2::3], recs[3::3]):
+        rid = resp["WARC-Record-ID"]
+        assert req["WARC-Concurrent-To"] == rid
+        assert meta["WARC-Concurrent-To"] == rid
+        assert req["WARC-Target-URI"] == resp["WARC-Target-URI"]
+    # the stored request block is a real HTTP/1.1 request for the url
+    req_b = recs[1]["_body"]
+    assert req_b.startswith(b"GET /a HTTP/1.1\r\n")
+    assert b"Host: h.example\r\n" in req_b
+    assert recs[4]["_body"].startswith(b"GET /b?q=1 HTTP/1.1\r\n")
+
+
+def test_write_warc_full_records_distributed(docs120, spark, tmp_path):
+    out = str(tmp_path / "full")
+    n = warc.write_warc(docs120.repartition(4), out, full_records=True)
+    assert n == 120
+    assert _canon(warc.read_warc(spark, out)) == _canon(docs120)
+
+
+def test_write_warc_missing_part_raises(docs120, tmp_path, monkeypatch):
+    """If a part file is not visible from the driver (worker-local
+    write), the sink must raise, not silently under-deliver."""
+    import os
+    real_exists = os.path.exists
+    monkeypatch.setattr(
+        "os.path.exists",
+        lambda p: False if p.endswith(".warc.gz") else real_exists(p))
+    with pytest.raises(RuntimeError, match="non-shared filesystem"):
+        warc.write_warc(docs120.repartition(2), str(tmp_path / "w"))
