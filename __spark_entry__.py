@@ -2143,20 +2143,311 @@ FROM banded x JOIN banded y
 """
 
 
+# ---------------------------------------------------------------------------
+# round 6: consolidated relational forms + newly driver-graded surface
+# ---------------------------------------------------------------------------
+
+def q_relational_forms(spark, sf_dir):
+    """Four relational forms as ONE value-graded digest (the
+    text_signals consolidation trick, freeing registry slots under
+    the driver's 50-entry grading cap): the filtered scan+agg, the
+    semi join, the anti join, and the set intersection — each mapped
+    onto a uniform (form, k1, k2, v1, v2, v3) schema so every VALUE
+    the four original entries graded is still graded. Each form still
+    has its own q_ function (composed here) and per-operator tests."""
+    zero = F.lit(0).cast("long")
+    scan = q_scan_filter_project(spark, sf_dir).select(
+        F.lit("scan").alias("form"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("n").cast("long").alias("v1"),
+        F.col("revenue_cents").alias("v2"),
+        F.col("sum_qty").alias("v3"))
+    semi = q_semi_join(spark, sf_dir).select(
+        F.lit("semi").alias("form"),
+        F.col("c_custkey").cast("string").alias("k1"),
+        F.col("c_mktsegment").alias("k2"),
+        zero.alias("v1"), zero.alias("v2"), zero.alias("v3"))
+    anti = q_anti_join(spark, sf_dir).select(
+        F.lit("anti").alias("form"),
+        F.col("c_custkey").cast("string").alias("k1"),
+        F.col("c_name").alias("k2"),
+        zero.alias("v1"), zero.alias("v2"), zero.alias("v3"))
+    inter = q_set_ops(spark, sf_dir).select(
+        F.lit("intersect").alias("form"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.lit("").alias("k2"),
+        zero.alias("v1"), zero.alias("v2"), zero.alias("v3"))
+    return scan.unionByName(semi).unionByName(anti).unionByName(inter)
+
+
+SQL_RELATIONAL = f"""
+SELECT 'scan' AS form, l_returnflag AS k1, l_linestatus AS k2,
+       n AS v1, revenue_cents AS v2, sum_qty AS v3
+FROM ({SQL_SCAN}) scan_q
+UNION ALL
+SELECT 'semi', CAST(c_custkey AS VARCHAR), c_mktsegment,
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM ({SQL_SEMI}) semi_q
+UNION ALL
+SELECT 'anti', CAST(c_custkey AS VARCHAR), c_name,
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM ({SQL_ANTI}) anti_q
+UNION ALL
+SELECT 'intersect', CAST(user_id AS VARCHAR), '',
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM ({SQL_SET_OPS}) set_q
+"""
+
+
+# SPARQL forms over a deterministic KG derived from the driver tables:
+# customer --placed--> order-key, every 3rd customer --in_segment-->
+# segment (so OPTIONAL is genuinely partial), and nation ring+chord
+# --borders--> edges (strongly connected, small diameter) for the
+# closure. The DuckDB twin builds the SAME triples in SQL and runs
+# sparql.to_sql's structural compilation of each query (shares only
+# the parser with the Spark path — the test suite's twin posture).
+_SPARQL_FORMS = {
+    "bgp": ('SELECT ?s ?seg WHERE { ?s "placed" ?o . '
+            '?s "in_segment" ?seg }', ["s", "seg"]),
+    "agg_having": ('SELECT ?s (COUNT(?o) AS ?n) WHERE '
+                   '{ ?s "placed" ?o } GROUP BY ?s HAVING (?n >= 2)',
+                   None),
+    "optional": ('SELECT ?s ?seg WHERE { ?s "placed" ?o . '
+                 'OPTIONAL { ?s "in_segment" ?seg } }', ["s", "seg"]),
+    "minus": ('SELECT ?s ?o WHERE { ?s "placed" ?o '
+              'MINUS { ?s "in_segment" ?g } }', ["s", "o"]),
+    "path": ('SELECT ?a ?b WHERE { ?a "borders"+ ?b }', ["a", "b"]),
+}
+
+_SPARQL_TRIPLES_SQL = """
+SELECT c_name AS subj, 'placed' AS pred,
+       CAST(o_orderkey AS VARCHAR) AS obj
+FROM customer JOIN orders ON c_custkey = o_custkey
+UNION ALL
+SELECT c_name, 'in_segment', c_mktsegment
+FROM customer WHERE c_custkey % 3 = 0
+UNION ALL
+SELECT n1.n_name, 'borders', n2.n_name
+FROM nation n1 JOIN nation n2
+  ON n2.n_nationkey = (n1.n_nationkey + 1) % 25
+UNION ALL
+SELECT n1.n_name, 'borders', n2.n_name
+FROM nation n1 JOIN nation n2
+  ON n2.n_nationkey = (3 * n1.n_nationkey + 1) % 25
+"""
+
+
+def _sparql_forms_triples(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    placed = (c.join(o, c.c_custkey == o.o_custkey)
+              .select(F.col("c_name").alias("subj"),
+                      F.lit("placed").alias("pred"),
+                      F.col("o_orderkey").cast("string").alias("obj")))
+    seg = (c.filter(F.col("c_custkey") % 3 == 0)
+           .select(F.col("c_name").alias("subj"),
+                   F.lit("in_segment").alias("pred"),
+                   F.col("c_mktsegment").alias("obj")))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"),
+                  F.col("n_name").alias("nn2"))
+    ring = (n.join(n2, ((F.col("n_nationkey") + 1) % 25)
+                   == F.col("nk2"))
+            .select(F.col("n_name").alias("subj"),
+                    F.lit("borders").alias("pred"),
+                    F.col("nn2").alias("obj")))
+    chord = (n.join(n2, ((3 * F.col("n_nationkey") + 1) % 25)
+                    == F.col("nk2"))
+             .select(F.col("n_name").alias("subj"),
+                     F.lit("borders").alias("pred"),
+                     F.col("nn2").alias("obj")))
+    return (placed.unionByName(seg).unionByName(ring)
+            .unionByName(chord))
+
+
+def q_sparql_forms(spark, sf_dir):
+    """One driver row set grading five SPARQL query forms — BGP join,
+    aggregate+HAVING, OPTIONAL left join, MINUS anti-join, and the
+    "+"-closure property path (the recursive-CTE twin) — over the
+    deterministic driver-table KG, reduced to a uniform
+    (form, k, v) schema."""
+    from multivac_spark.operators.sparql import sparql
+
+    tr = _sparql_forms_triples(spark, sf_dir).localCheckpoint()
+    parts = []
+    for form, (q, kcols) in _SPARQL_FORMS.items():
+        out = sparql(tr, q)
+        if kcols is None:  # the aggregate form: k = group key, v = n
+            part = out.select(F.lit(form).alias("form"),
+                              F.col("s").alias("k"),
+                              F.col("n").cast("long").alias("v"))
+        else:
+            k = F.concat_ws("|", *[F.coalesce(F.col(c), F.lit("@null@"))
+                                   for c in kcols])
+            part = out.select(F.lit(form).alias("form"), k.alias("k"),
+                              F.lit(1).cast("long").alias("v"))
+        parts.append(part)
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionByName(p)
+    return acc
+
+
+def _sparql_forms_sql() -> str:
+    from multivac_spark.operators.sparql import parse, to_sql
+
+    parts = []
+    for form, (q, kcols) in _SPARQL_FORMS.items():
+        body = to_sql(parse(q), table="triples")
+        if kcols is None:
+            sel = "s AS k, CAST(n AS BIGINT) AS v"
+        else:
+            k = " || '|' || ".join(f"COALESCE({c}, '@null@')"
+                                   for c in kcols)
+            sel = f"{k} AS k, CAST(1 AS BIGINT) AS v"
+        parts.append(f"SELECT '{form}' AS form, {sel} FROM ({body}) "
+                     f"{form}_q")
+    return (f"WITH triples AS ({_SPARQL_TRIPLES_SQL})\n"
+            + "\nUNION ALL\n".join(parts))
+
+
+# PageRank on a fixed ring+chords+danglers graph (sf-independent so
+# the oracle pins exact per-node scores): _PR_E4 is frozen from the
+# INDEPENDENT dense Google-matrix oracle
+# (tests/test_pagerank_khop.py::_dense_pagerank — the ground-truth
+# path, not the kernel under test), with every floor(score*1e4)
+# verified >1e-2 e4-units from an integer boundary; the operator's
+# driver-fastpath/distributed bit-agreement is pytest-pinned.
+_PR_N = 50
+_PR_E4 = [166, 171, 179, 198, 172, 190, 193, 165, 165, 188, 189, 201,
+          179, 189, 199, 163, 190, 192, 197, 193, 175, 198, 173, 184,
+          200, 203, 201, 210, 173, 170, 183, 184, 201, 177, 192, 203,
+          165, 187, 205, 200, 207, 173, 195, 168, 180, 199, 201, 200,
+          206, 180, 141, 92, 138, 85, 144]
+
+
+def q_pagerank(spark, sf_dir):
+    """networkx-semantics PageRank (analytics.pagerank: dangling mass
+    recycled, uniform transition weights) on the fixed graph — ring,
+    affine chords, five dangling sink nodes fed from every 7th node."""
+    rows = sorted(set(
+        [(i, (i + 1) % _PR_N) for i in range(_PR_N)]
+        + [(i, (3 * i + 7) % _PR_N) for i in range(_PR_N)]
+        + [(i, _PR_N + i % 5) for i in range(0, _PR_N, 7)]))
+    edges = spark.createDataFrame(rows, "head_id long, tail_id long")
+    res = analytics.pagerank(edges, tol=1e-12, max_iter=500)
+    return res.select("node",
+                      F.floor(F.col("score") * 10_000).cast("long")
+                      .alias("score_e4"))
+
+
+SQL_PAGERANK = ("SELECT CAST(node AS BIGINT) AS node, "
+                "CAST(score_e4 AS BIGINT) AS score_e4 FROM (VALUES "
+                + ", ".join(f"({i}, {v})" for i, v in enumerate(_PR_E4))
+                + ") AS t(node, score_e4)")
+
+
+def q_warc_nt_roundtrip(spark, sf_dir):
+    """Interchange identity digest: the driver documents table is
+    shaped into web pages (url, second-precision warc_ts, html bytes,
+    lang), round-tripped through the WARC sink+source (full
+    request/response/metadata records), reduced to deterministic
+    triples, and round-tripped again through the N-Triples sink+source
+    — two (stage, n, digest) rows. The ORACLE computes both digests
+    straight from the documents parquet in SQL (the ground-truth
+    path), so ANY byte lost or altered by either interchange layer
+    (framing, encoding, %-escapes, timestamps, language headers)
+    breaks the hash match."""
+    import tempfile
+
+    from multivac_spark.sources import ntriples, warc
+
+    tmp = tempfile.mkdtemp(prefix="warc_nt_rt_")
+    docs = _t(spark, sf_dir, "documents")
+    base_ts = F.to_timestamp_ntz(F.lit("2020-01-01 00:00:00"))
+    pages = docs.select(
+        F.concat(F.lit("https://corpus.example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_add("SECOND", F.col("doc_id").cast("int"),
+                        base_ts).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body>"), F.col("text"),
+                          F.lit("</body></html>")), "UTF-8")
+        .alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"))
+    warc.write_warc(pages.repartition(8), f"{tmp}/w",
+                    full_records=True)
+    back = warc.read_warc(spark, f"{tmp}/w").localCheckpoint()
+
+    secs = F.timestamp_diff(
+        "SECOND", F.to_timestamp_ntz(F.lit("2020-01-01 00:00:00")),
+        F.col("warc_ts")).cast("string")
+    row = F.concat_ws("|", F.col("url"), secs, F.md5(F.col("html")),
+                      F.col("lang"))
+    docs_digest = back.agg(
+        F.count("*").alias("n"),
+        F.md5(F.encode(F.array_join(
+            F.array_sort(F.collect_list(row)), "\n"), "UTF-8"))
+        .alias("digest")).select(F.lit("warc_docs").alias("stage"),
+                                 "n", "digest")
+
+    triples = (back.select(
+        F.col("url").alias("subj"), F.lit("has_lang").alias("pred"),
+        F.col("lang").alias("obj"))
+        .unionByName(back.select(
+            F.col("url").alias("subj"),
+            F.lit("html_md5").alias("pred"),
+            F.md5(F.col("html")).alias("obj"))))
+    ntriples.write_ntriples(triples, f"{tmp}/nt")
+    nt_back = ntriples.read_ntriples(spark, f"{tmp}/nt")
+    trow = F.concat_ws("|", "subj", "pred", "obj")
+    nt_digest = nt_back.agg(
+        F.count("*").alias("n"),
+        F.md5(F.encode(F.array_join(
+            F.array_sort(F.collect_list(trow)), "\n"), "UTF-8"))
+        .alias("digest")).select(F.lit("nt_triples").alias("stage"),
+                                 "n", "digest")
+    return docs_digest.unionByName(nt_digest)
+
+
+SQL_WARC_NT = """
+WITH pages AS (
+  SELECT 'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR)
+             AS url,
+         CAST(doc_id AS VARCHAR) AS secs,
+         md5('<html><body>' || text || '</body></html>') AS html_md5,
+         lang
+  FROM documents),
+rows_d AS (
+  SELECT url || '|' || secs || '|' || html_md5 || '|' || lang AS r
+  FROM pages),
+tr AS (
+  SELECT url AS subj, 'has_lang' AS pred, lang AS obj FROM pages
+  UNION ALL
+  SELECT url, 'html_md5', html_md5 FROM pages),
+rows_t AS (
+  SELECT subj || '|' || pred || '|' || obj AS r FROM tr)
+SELECT 'warc_docs' AS stage, count(*) AS n,
+       md5(string_agg(r, chr(10) ORDER BY r)) AS digest FROM rows_d
+UNION ALL
+SELECT 'nt_triples', count(*),
+       md5(string_agg(r, chr(10) ORDER BY r)) FROM rows_t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "scan_filter_project": q_scan_filter_project,
+        "relational_forms": q_relational_forms,
         "topn_entities": q_topn_entities,
         "topn_relations": q_topn_relations,
         "distinct_dedup": q_distinct_dedup,
         "id_assignment": q_id_assignment,
         "type_constraint": q_type_constraint,
         "broadcast_join_agg": q_broadcast_join_agg,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
         "window_topk": q_window_topk,
         "cluster_reps": q_cluster_reps,
-        "set_ops": q_set_ops,
+        "sparql_forms": q_sparql_forms,
         "degree_centrality": q_degree_centrality,
         "centrality_delta": q_centrality_delta,
         "top_triples_by_gain": q_top_triples_by_gain,
@@ -2195,23 +2486,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_rank": q_textrank_rank,
         "transe_rank": q_transe_rank,
         "predicted_objects": q_predicted_objects,
+        "pagerank": q_pagerank,
+        "warc_nt_roundtrip": q_warc_nt_roundtrip,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "scan_filter_project": SQL_SCAN,
+        "relational_forms": SQL_RELATIONAL,
         "topn_entities": SQL_TOPN_ENT,
         "topn_relations": SQL_TOPN_REL,
         "distinct_dedup": SQL_DISTINCT,
         "id_assignment": SQL_IDS,
         "type_constraint": SQL_TYPE_CONSTRAINT,
         "broadcast_join_agg": SQL_BROADCAST,
-        "semi_join": SQL_SEMI,
-        "anti_join": SQL_ANTI,
         "window_topk": SQL_WINDOW,
         "cluster_reps": SQL_CLUSTER_REPS,
-        "set_ops": SQL_SET_OPS,
+        "sparql_forms": _sparql_forms_sql(),
         "degree_centrality": SQL_DEGREE,
         "centrality_delta": SQL_DELTA,
         "top_triples_by_gain": SQL_TOP_GAIN,
@@ -2250,4 +2541,6 @@ def oracle_sql() -> dict[str, str]:
         "textrank_rank": SQL_TEXTRANK,
         "transe_rank": SQL_TRANSE,
         "predicted_objects": SQL_PREDOBJ,
+        "pagerank": SQL_PAGERANK,
+        "warc_nt_roundtrip": SQL_WARC_NT,
     }
