@@ -22,8 +22,11 @@ def main() -> None:
     sf = float(os.environ.get("SEEDED_SF", "1.0"))
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+    import tempfile
+
     from multivac_spark.functions.fused import fused_extract_stage
     from multivac_spark.functions.normalize import normalize_triples
+    from multivac_spark.operators import canon, materialize
     from multivac_spark.operators import sparql as S
     from multivac_spark.plans.pipeline import default_lexicons
     from multivac_spark.session import get_spark
@@ -33,12 +36,27 @@ def main() -> None:
                       shuffle_partitions=str(max(int(cpus), 8)))
     spark.sparkContext.setLogLevel("ERROR")
 
+    # the CANONICAL KG, same build as bench_sparql.py — the graph
+    # BENCH.md's closure numbers are measured on. (The raw
+    # un-canonicalized triples are a far denser graph whose full
+    # closure is a different, much larger object: the first cut of
+    # this bench used it by mistake and the closure leg OOM'd a 24 GB
+    # heap — itself a data point on what the full-closure plan does
+    # the moment the graph is bigger than expected.)
     lex, lemmas = default_lexicons()
     docs = corpus.documents_df(spark, corpus.n_docs_for_sf(sf))
-    kg = (normalize_triples(
+    triples = normalize_triples(
         fused_extract_stage(docs, lex, lemmas, "en"),
-        vocab.verb_lemma_table(), lex)
-        .select("subj", "pred", "obj").localCheckpoint())
+        vocab.verb_lemma_table(), lex).localCheckpoint()
+    uniq_ents = materialize.top_entities(triples, 50_000).localCheckpoint()
+    uniq_rels = materialize.top_relations(triples, 50)
+    clusters = canon.cluster_entities(
+        uniq_ents.select("mention"), corpus.embeddings_df(spark))
+    final = canon.canonicalize_triples(
+        triples.select("subj", "pred", "obj"), clusters, uniq_rels)
+    tmp = tempfile.mkdtemp(prefix="bench_sparql_seeded_")
+    final.write.mode("overwrite").parquet(f"{tmp}/triples")
+    kg = spark.read.parquet(f"{tmp}/triples")
     n = kg.count()
 
     # a selective anchor: one subject that has "infect" out-edges
@@ -49,6 +67,8 @@ def main() -> None:
     t0 = time.time()
     seeded_rows = sorted(map(tuple, S.sparql(kg, q).collect()))
     t_seeded = round(time.time() - t0, 3)
+    print(f"# seeded leg: {t_seeded}s, {len(seeded_rows)} rows",
+          flush=True)
 
     # round-5 behavior: route the path through the full closure
     orig = S._scan_seeded
@@ -74,6 +94,9 @@ def main() -> None:
         "speedup": round(t_closure / max(t_seeded, 1e-9), 1),
     }))
     spark.stop()
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -18,9 +18,12 @@ Supported grammar (case-insensitive keywords)::
                                          --   term is accepted
     SELECT [DISTINCT] (?v | (expr AS ?v)) ... | *
     SELECT ?g ... (COUNT([DISTINCT] ?v | *) AS ?a) ...   -- aggregates
-      -- (§18.5): COUNT / MIN / MAX / SAMPLE (deterministic: = MIN)
-      -- / GROUP_CONCAT(?v [; SEPARATOR = "s"]) (deterministic:
-      -- values sorted; default separator " ")
+      -- (§18.5): COUNT / SUM / AVG / MIN / MAX / SAMPLE
+      -- (deterministic: = MIN) / GROUP_CONCAT(?v [; SEPARATOR =
+      -- "s"]) (deterministic: values sorted; default separator " ").
+      -- SUM/AVG use §17.3 numeric value semantics via TRY_CAST:
+      -- non-integer bindings are skipped, an all-non-numeric group
+      -- yields NULL
     WHERE { pattern [.] pattern ... }
     [GROUP BY ?g ...] [HAVING (cond) ...]
       -- HAVING conds reference GROUP BY vars / aggregate aliases;
@@ -72,6 +75,12 @@ Supported grammar (case-insensitive keywords)::
                                          --   "n"^^xsd:integer
               | REGEX(?v, "re")
               | CONTAINS(?v, "s") | STRSTARTS(?v, "s")
+              | BOUND(?v)                -- true iff ?v is bound
+                                         --   (with !, the classic
+                                         --   OPTIONAL-negation idiom)
+              | cond && cond | cond || cond | !cond | ( cond )
+                                         -- §17.2 three-valued logic;
+                                         --   precedence ! > && > ||
     expr     := term | CONCAT(expr, ...) | UCASE(expr) | LCASE(expr)
               | STR(expr) | STRLEN(expr)
 
@@ -130,7 +139,7 @@ _TOKEN_RE = re.compile(
       | (?P<pname>[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*
                  |:[A-Za-z0-9_.-]+)
       | (?P<word>[A-Za-z][A-Za-z_]*)
-      | (?P<punct><=|>=|!=|\^\^|[{}().,+|^;?/!<>=*])
+      | (?P<punct><=|>=|!=|&&|\|\||\^\^|[{}().,+|^;?/!<>=*])
     )""", re.VERBOSE)
 
 _STR_FUNCS = {"REGEX", "CONTAINS", "STRSTARTS"}
@@ -555,9 +564,48 @@ def _parse_rhs(ts: _Tokens, base: str):
 
 
 def _parse_cond(ts: _Tokens, base: str) -> tuple:
-    """One parenthesized FILTER / HAVING condition → a cond tuple
-    ``(kind, var, value)``."""
+    """One parenthesized FILTER / HAVING condition → a cond tree:
+    leaves are ``(kind, var, value)`` tuples (comparison / string
+    function / BOUND), composites are ``("&&"|"||", lhs, rhs)`` and
+    ``("!", sub)``, with standard precedence ``!`` > ``&&`` > ``||``
+    and parentheses for grouping."""
     ts.expect("(")
+    cond = _parse_cond_or(ts, base)
+    ts.expect(")")
+    return cond
+
+
+def _parse_cond_or(ts: _Tokens, base: str) -> tuple:
+    cond = _parse_cond_and(ts, base)
+    while ts.peek() == ("punct", "||"):
+        ts.next()
+        cond = ("||", cond, _parse_cond_and(ts, base))
+    return cond
+
+
+def _parse_cond_and(ts: _Tokens, base: str) -> tuple:
+    cond = _parse_cond_unary(ts, base)
+    while ts.peek() == ("punct", "&&"):
+        ts.next()
+        cond = ("&&", cond, _parse_cond_unary(ts, base))
+    return cond
+
+
+def _parse_cond_unary(ts: _Tokens, base: str) -> tuple:
+    t = ts.peek()
+    if t == ("punct", "!"):
+        ts.next()
+        return ("!", _parse_cond_unary(ts, base))
+    if t == ("punct", "("):
+        # leaves never start with '(' — this is a grouping paren
+        ts.next()
+        cond = _parse_cond_or(ts, base)
+        ts.expect(")")
+        return cond
+    return _parse_cond_leaf(ts, base)
+
+
+def _parse_cond_leaf(ts: _Tokens, base: str) -> tuple:
     t = ts.next()
     if t[0] == "word" and t[1].upper() in _STR_FUNCS:
         func = t[1].upper()
@@ -570,8 +618,15 @@ def _parse_cond(ts: _Tokens, base: str) -> tuple:
         if arg[0] != "lit":
             raise SparqlError(f"{func} needs a string literal argument")
         ts.expect(")")
-        cond = (func, var[1][1:], _term(arg, base)[1])
-    elif t[0] == "var":
+        return (func, var[1][1:], _term(arg, base)[1])
+    if t[0] == "word" and t[1].upper() == "BOUND":
+        ts.expect("(")
+        var = ts.next()
+        if var[0] != "var":
+            raise SparqlError("BOUND needs a variable argument")
+        ts.expect(")")
+        return ("BOUND", var[1][1:], None)
+    if t[0] == "var":
         op = ts.next()
         if op[0] != "punct" or op[1] not in _CMP_OPS:
             raise SparqlError(
@@ -584,11 +639,19 @@ def _parse_cond(ts: _Tokens, base: str) -> tuple:
         if op[1] in ("<", ">", "<=", ">=") and rhs[0] != "num":
             raise SparqlError(
                 f"{op[1]} needs an integer right-hand side")
-        cond = (op[1], t[1][1:], rhs)
+        return (op[1], t[1][1:], rhs)
+    raise SparqlError(f"unsupported FILTER starting at {t[1]!r}")
+
+
+def _cond_leaves(cond):
+    """Yield a cond tree's leaf tuples (for validation)."""
+    if cond[0] == "!":
+        yield from _cond_leaves(cond[1])
+    elif cond[0] in ("&&", "||"):
+        yield from _cond_leaves(cond[1])
+        yield from _cond_leaves(cond[2])
     else:
-        raise SparqlError(f"unsupported FILTER starting at {t[1]!r}")
-    ts.expect(")")
-    return cond
+        yield cond
 
 
 def _parse_filter(ts: _Tokens, base: str, q: _Query):
@@ -648,7 +711,12 @@ def _parse_template(ts: _Tokens, base: str) -> list:
                                   for _ in range(3))))
 
 
-_AGG_FUNCS = ("COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
+_AGG_FUNCS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE",
+              "GROUP_CONCAT")
+# aggregates whose output column is already numeric: HAVING must not
+# re-apply the try_cast value semantics (cast of an AVG double
+# truncates in Spark but rounds in DuckDB)
+_NUMERIC_AGGS = ("COUNT", "SUM", "AVG")
 
 
 def _parse_agg(ts: _Tokens):
@@ -863,14 +931,15 @@ def _validate(q: _Query):
             raise SparqlError(
                 "OPTIONAL groups may not share variables with each "
                 f"other (got {sorted(gvars & seen_opt)})")
-        for kind, var, value in filts:
-            rhs = ([value[1]] if kind in ("=", "!=")
-                   and value[0] == "var" else [])
-            for v in [var] + rhs:
-                if v not in gvars:
-                    raise SparqlError(
-                        "FILTER inside OPTIONAL may only use variables "
-                        f"bound in that group (?{v})")
+        for cond in filts:
+            for kind, var, value in _cond_leaves(cond):
+                rhs = ([value[1]] if kind in _CMP_OPS
+                       and value[0] == "var" else [])
+                for v in [var] + rhs:
+                    if v not in gvars:
+                        raise SparqlError(
+                            "FILTER inside OPTIONAL may only use "
+                            f"variables bound in that group (?{v})")
         seen_opt |= gvars - required
         bound |= gvars
     for alias, e in q.binds or []:
@@ -920,23 +989,29 @@ def _validate(q: _Query):
     if q.group and not q.aggs:
         raise SparqlError("GROUP BY without aggregates is not supported "
                           "(use SELECT DISTINCT)")
-    for kind, var, value in q.filters:
-        if var not in bound:
-            raise SparqlError(f"FILTER on unbound variable ?{var}")
-        if kind in _CMP_OPS and value[0] == "var" \
-                and value[1] not in bound:
-            raise SparqlError(
-                f"FILTER on unbound variable ?{value[1]}")
+    for cond in q.filters:
+        for kind, var, value in _cond_leaves(cond):
+            if var not in bound:
+                raise SparqlError(f"FILTER on unbound variable ?{var}")
+            if kind in _CMP_OPS and value[0] == "var" \
+                    and value[1] not in bound:
+                raise SparqlError(
+                    f"FILTER on unbound variable ?{value[1]}")
     if q.having and not q.aggs:
         raise SparqlError("HAVING needs an aggregate query")
     agg_out = set(q.group or []) | {a[3] for a in q.aggs or []}
-    for kind, var, value in q.having or []:
-        for v in [var] + ([value[1]] if kind in _CMP_OPS
-                          and value[0] == "var" else []):
-            if v not in agg_out:
+    for cond in q.having or []:
+        for kind, var, value in _cond_leaves(cond):
+            if kind == "BOUND":
                 raise SparqlError(
-                    f"HAVING may only use GROUP BY variables or "
-                    f"aggregate aliases (?{v})")
+                    "BOUND is not meaningful in HAVING (aggregate "
+                    "outputs are always bound)")
+            for v in [var] + ([value[1]] if kind in _CMP_OPS
+                              and value[0] == "var" else []):
+                if v not in agg_out:
+                    raise SparqlError(
+                        f"HAVING may only use GROUP BY variables or "
+                        f"aggregate aliases (?{v})")
     for names, _ in q.values or []:
         for v in names:
             if v not in bound:
@@ -1086,6 +1161,10 @@ def _bfs(edges: DataFrame, seed: str, forward: bool) -> DataFrame:
     """Nodes reachable from ``seed`` by ≥1 hops (column ``_n``)."""
     from ..session import stats_barrier
 
+    # materialize the edge slice ONCE: the loop references it every
+    # round, and without the cut each round would re-run the filtered
+    # scan of the triples table (rounds × scan cost at 100 TB)
+    edges = stats_barrier(edges)
     src, dst = ("_ps", "_po") if forward else ("_po", "_ps")
     frontier = stats_barrier(
         edges.filter(F.col(src) == seed)
@@ -1097,8 +1176,13 @@ def _bfs(edges: DataFrame, seed: str, forward: bool) -> DataFrame:
             .select(F.col(dst).alias("_n")).distinct()
             .join(acc, "_n", "left_anti"))
         # step is anti-joined against acc, so the union is distinct
-        # by construction — no re-distinct of the whole reached set
-        acc = stats_barrier(acc.unionByName(step))
+        # by construction — no re-distinct of the whole reached set.
+        # Only the DELTA is checkpointed; acc stays a plan-level
+        # union of already-materialized disjoint parts. Checkpointing
+        # the union itself would pin O(rounds × reached-set) blocks
+        # (each round's copy survives via the next round's lineage) —
+        # the sf1.0 closure leg OOM'd a 24 GB heap exactly that way.
+        acc = acc.unionByName(step)
         frontier = step
     return acc
 
@@ -1111,6 +1195,7 @@ def _bfs_multi(edges: DataFrame, seeds: DataFrame,
     reachable set (output-bounded), never the graph's full closure."""
     from ..session import stats_barrier
 
+    edges = stats_barrier(edges)  # one scan, not one per round
     src, dst = ("_ps", "_po") if forward else ("_po", "_ps")
     frontier = stats_barrier(
         edges.join(seeds.withColumnRenamed("_s", "_sv"),
@@ -1123,7 +1208,9 @@ def _bfs_multi(edges: DataFrame, seeds: DataFrame,
             edges.join(frontier.withColumnRenamed("_n", src), src)
             .select("_s", F.col(dst).alias("_n")).distinct()
             .join(acc, ["_s", "_n"], "left_anti"))
-        acc = stats_barrier(acc.unionByName(step))
+        # delta-only checkpointing — see _bfs for the O(rounds × acc)
+        # block-pinning trap this avoids
+        acc = acc.unionByName(step)
         frontier = step
     return acc
 
@@ -1192,9 +1279,12 @@ def _closure(edges: DataFrame) -> DataFrame:
     squaring trap (see session.stats_barrier)."""
     from ..session import stats_barrier
 
-    right = edges.select(F.col("_ps").alias("_m"),
-                         F.col("_po").alias("_pe"))
     paths = stats_barrier(edges)
+    # the per-round extension side comes from the MATERIALIZED slice,
+    # not the raw edges lineage — otherwise every round re-runs the
+    # filtered triples scan
+    right = paths.select(F.col("_ps").alias("_m"),
+                         F.col("_po").alias("_pe"))
     delta = paths
     while True:
         ext = (delta.join(right, delta["_po"] == right["_m"])
@@ -1202,7 +1292,14 @@ def _closure(edges: DataFrame) -> DataFrame:
         new = stats_barrier(ext.join(paths, ["_ps", "_po"], "left_anti"))
         if new.isEmpty():
             return paths
-        paths = stats_barrier(paths.unionByName(new))
+        # checkpoint ONLY the delta; the accumulated set is a union of
+        # disjoint materialized deltas. Re-checkpointing the union each
+        # round stores every round's full copy (pinned by the next
+        # round's lineage): O(rounds × closure) blocks — the shape that
+        # OOM'd a 24 GB heap on the sf1.0 closure (24.9M pairs). The
+        # union keeps total block storage at exactly |closure|, and the
+        # per-round anti-join probe work is unchanged.
+        paths = paths.unionByName(new)
         delta = new
 
 
@@ -1271,8 +1368,8 @@ def _solve(triples: DataFrame, q: _Query) -> tuple:
     # row with the group's variables unbound)
     for i, (pats, filts) in enumerate(q.optionals or []):
         frame, gvars = _branch_frame(triples, pats, f"o{i}")
-        for kind, var, value in filts:
-            frame = frame.filter(_filter_cond(kind, var, value))
+        for cond in filts:
+            frame = frame.filter(_filter_cond(cond))
         on = sorted(bound & gvars)
         acc = acc.join(frame, on=on, how="left")
         bound |= gvars
@@ -1283,8 +1380,8 @@ def _solve(triples: DataFrame, q: _Query) -> tuple:
     for alias, e in q.binds or []:
         acc = acc.withColumn(alias, _expr_col(e))
         bound = bound | {alias}
-    for kind, var, value in q.filters:
-        acc = acc.filter(_filter_cond(kind, var, value))
+    for cond in q.filters:
+        acc = acc.filter(_filter_cond(cond))
     for names, rows in q.values or []:
         if len(names) == 1:
             acc = acc.filter(F.col(names[0]).isin(
@@ -1306,8 +1403,26 @@ def _solve(triples: DataFrame, q: _Query) -> tuple:
     return acc, bound
 
 
-def _filter_cond(kind, var, value):
+def _filter_cond(cond, no_cast=frozenset()):
+    """A cond tree → a boolean Column. Spark's SQL three-valued logic
+    matches SPARQL's error propagation for the connectives (§17.2:
+    error||true=true, error&&false=false, !error=error→row dropped),
+    so NULL-bearing OPTIONAL variables behave identically in both
+    engines. ``no_cast`` names columns already numeric (aggregate
+    aliases under HAVING) where the try_cast-to-long value semantics
+    must NOT apply — casting an AVG double would truncate in Spark but
+    round in the DuckDB twin."""
+    kind = cond[0]
+    if kind == "!":
+        return ~_filter_cond(cond[1], no_cast)
+    if kind in ("&&", "||"):
+        a = _filter_cond(cond[1], no_cast)
+        b = _filter_cond(cond[2], no_cast)
+        return a & b if kind == "&&" else a | b
+    kind, var, value = cond
     c = F.col(var)
+    if kind == "BOUND":
+        return c.isNotNull()
     if kind in _CMP_OPS:
         vk, vv = value
         if vk == "num":
@@ -1316,7 +1431,8 @@ def _filter_cond(kind, var, value):
             # drops it — try_cast → NULL → false, exactly the twin's
             # TRY_CAST(... AS BIGINT) semantics (and a no-op on
             # already-long aggregate aliases under HAVING)
-            c = c.try_cast("long")
+            if var not in no_cast:
+                c = c.try_cast("long")
             rhs = F.lit(vv)
         else:
             rhs = F.col(vv) if vk == "var" else F.lit(vv)
@@ -1383,6 +1499,17 @@ def _agg_expr(func: str, arg: str, distinct: bool, sep):
         return F.count(F.lit(1))
     if func == "COUNT" and distinct:
         return F.count_distinct(F.col(arg))
+    if func in ("SUM", "AVG"):
+        # numeric value semantics (§17.3 via TRY_CAST, like the
+        # comparison filters): bindings with no integer value are
+        # skipped (NULL), an all-non-numeric group yields NULL — the
+        # twin's SUM/AVG(TRY_CAST ...) behaves identically. DISTINCT
+        # dedups the CAST values in both engines.
+        c = F.col(arg).try_cast("long")
+        if func == "SUM":
+            return F.sum_distinct(c) if distinct else F.sum(c)
+        return (F.expr(f"avg(DISTINCT try_cast({arg} AS BIGINT))")
+                if distinct else F.avg(c))
     if func == "GROUP_CONCAT":
         # deterministic instance of §18.5.1.7: values sorted before
         # joining (collect order is partition-dependent otherwise);
@@ -1445,8 +1572,10 @@ def compile_bgp(triples: DataFrame, q: _Query) -> DataFrame:
         acc = acc.groupBy(*q.group).agg(
             *[_agg_expr(f, a, d, sep).alias(alias)
               for f, a, d, alias, sep in q.aggs])
+        numeric = {alias for f, _a, _d, alias, _s in q.aggs
+                   if f in _NUMERIC_AGGS}
         for cond in q.having or []:
-            acc = acc.filter(_filter_cond(*cond))
+            acc = acc.filter(_filter_cond(cond, no_cast=numeric))
         acc = acc.select(*q.select)
     else:
         # SELECT * never exposes sequence-desugar variables
@@ -1561,9 +1690,8 @@ def to_sql(q: _Query, table: str = "triples") -> str:
         # a bind alias maps to its (parenthesized) SQL expression, so
         # later filters/projections reference the expression inline
         aliases[alias] = _expr_sql(e, aliases)
-    for kind, var, value in q.filters:
-        filt_parts.append(_filter_sql(kind, aliases[var], value,
-                                      aliases))
+    for cond in q.filters:
+        filt_parts.append(_filter_sql(cond, aliases))
     for names, rows in q.values or []:
         if len(names) == 1:
             vals = ", ".join(_sql_str(r[0]) for r in rows)
@@ -1627,9 +1755,13 @@ def to_sql(q: _Query, table: str = "triples") -> str:
                                   f"ORDER BY {col})")
                 continue
             sql_func = "MIN" if func == "SAMPLE" else func
+            col = aliases.get(arg)
+            if func in ("SUM", "AVG"):
+                col = f"TRY_CAST({col} AS BIGINT)"
             inner = ("*" if arg == "*"
-                     else ("DISTINCT " if distinct and func == "COUNT"
-                           else "") + aliases[arg])
+                     else ("DISTINCT " if distinct
+                           and func in ("COUNT", "SUM", "AVG")
+                           else "") + col)
             agg_sql[alias] = f"{sql_func}({inner})"
         sel = ", ".join(
             f"{agg_sql.get(v, aliases.get(v))} AS {v}" for v in q.select)
@@ -1639,10 +1771,11 @@ def to_sql(q: _Query, table: str = "triples") -> str:
         if q.having:
             # the aggregate expression is inlined (not the output
             # alias) so HAVING may reference aliases the SELECT drops
-            hav = [_filter_sql(kind, agg_sql.get(var, aliases.get(var)),
-                               value,
-                               {**aliases, **agg_sql})
-                   for kind, var, value in q.having]
+            numeric = {alias for f, _a, _d, alias, _s in q.aggs
+                       if f in _NUMERIC_AGGS}
+            hav = [_filter_sql(cond, {**aliases, **agg_sql},
+                               no_cast=numeric)
+                   for cond in q.having]
             sql += " HAVING " + " AND ".join(hav)
         if q.order:
             sql += " ORDER BY " + ", ".join(_order_sql(v, asc)
@@ -1719,8 +1852,8 @@ def _group_sql(patterns: list, filters: list, table: str, prefix: str,
                 conds.append(f"{t}.{pos} = {seen[name]}")
             else:
                 seen[name] = f"{t}.{pos}"
-    for kind, var, value in filters:
-        conds.append(_filter_sql(kind, seen[var], value, seen))
+    for cond in filters:
+        conds.append(_filter_sql(cond, seen))
     frm = f"FROM {' '.join(joins)} WHERE {' AND '.join(conds) or 'TRUE'}"
     sel = ", ".join(f"{seen[v]} AS {v}" for v in sorted(seen))
     return f"SELECT {sel} {frm}", sorted(seen)
@@ -1783,11 +1916,27 @@ _SQL_OPS = {"=": "=", "!=": "<>", "<": "<", ">": ">",
             "<=": "<=", ">=": ">="}
 
 
-def _filter_sql(kind: str, v: str, value, aliases: dict) -> str:
+def _filter_sql(cond, aliases: dict, no_cast=frozenset()) -> str:
+    """A cond tree → a SQL boolean expression; leaf variables resolve
+    through ``aliases``. Mirrors `_filter_cond` (same three-valued
+    logic, same ``no_cast`` exemption for numeric aggregate aliases
+    under HAVING)."""
+    kind = cond[0]
+    if kind == "!":
+        return f"(NOT {_filter_sql(cond[1], aliases, no_cast)})"
+    if kind in ("&&", "||"):
+        op = "AND" if kind == "&&" else "OR"
+        return (f"({_filter_sql(cond[1], aliases, no_cast)} {op} "
+                f"{_filter_sql(cond[2], aliases, no_cast)})")
+    kind, var, value = cond
+    v = aliases[var]
+    if kind == "BOUND":
+        return f"({v} IS NOT NULL)"
     if kind in _SQL_OPS:
         vk, vv = value
         if vk == "num":
-            return f"TRY_CAST({v} AS BIGINT) {_SQL_OPS[kind]} {vv}"
+            lhs = v if var in no_cast else f"TRY_CAST({v} AS BIGINT)"
+            return f"{lhs} {_SQL_OPS[kind]} {vv}"
         s = aliases[vv] if vk == "var" else _sql_str(vv)
         return f"{v} {_SQL_OPS[kind]} {s}"
     s = _sql_str(value)

@@ -701,8 +701,9 @@ def test_agg_parse_and_validate_errors(triples):
         'SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s "infect" ?o }',
         # DISTINCT + aggregates unsupported
         'SELECT DISTINCT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }',
-        # unsupported aggregate function
-        'SELECT (AVG(?o) AS ?n) WHERE { ?s ?p ?o }',
+        # unsupported aggregate function (SUM/AVG are supported
+        # since round 6)
+        'SELECT (MEDIAN(?o) AS ?n) WHERE { ?s ?p ?o }',
         # COUNT(DISTINCT *) is not a thing
         'SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?s ?p ?o }',
         # MIN needs a variable, not *
@@ -1047,3 +1048,112 @@ def test_sparql_time_travel_over_snapshots(spark, tmp_path):
                          .collect()}
     assert derived(v2) - derived(v1) == {("organ", "infected_by",
                                           "ebola")}
+
+
+# ---------------------------------------------------------------------------
+# round 6b: SUM/AVG aggregates, FILTER connectives (&& || !), BOUND
+# ---------------------------------------------------------------------------
+
+def test_sum_avg_aggregates(triples):
+    # numeric values arrive via BIND (the KG's objects are mentions);
+    # object lengths: ebola→{4,4}, virus x→{4,6}
+    got = run(triples, """
+        SELECT ?s (SUM(?l) AS ?t) (AVG(?l) AS ?m)
+        WHERE { ?s "infect" ?o . BIND (STRLEN(?o) AS ?l) }
+        GROUP BY ?s""")
+    assert got == [("ebola", 8, 4.0), ("virus x", 4, 4.0)]
+    # DISTINCT dedups the numeric values (4,4 → 4)
+    got = run(triples, """
+        SELECT (SUM(DISTINCT ?l) AS ?t) WHERE
+        { "ebola" ?p ?o . BIND (STRLEN(?o) AS ?l) }""")
+    assert got == [(4,)]
+    # §17.3 value semantics: strings with no integer value are
+    # skipped; an all-non-numeric group sums to NULL
+    got = run(triples, 'SELECT (SUM(?o) AS ?t) (AVG(?o) AS ?m) '
+                       'WHERE { ?s "mutate" ?o }')
+    assert got == [(None, None)]
+
+
+def test_sum_having_threshold(triples):
+    got = run(triples, """
+        SELECT ?s (SUM(?l) AS ?t)
+        WHERE { ?s ?p ?o . BIND (STRLEN(?o) AS ?l) }
+        GROUP BY ?s HAVING (?t >= 8) ORDER BY ?s""")
+    assert got == [("ebola", 8), ("virus x", 10)]
+
+
+def test_filter_connectives(triples):
+    # precedence: && binds tighter than ||
+    got = run(triples, """
+        SELECT ?s ?o WHERE { ?s "infect" ?o .
+          FILTER(?o = "host" || STRSTARTS(?o, "c") && ?s != "ebola") }""")
+    assert got == [("ebola", "host"), ("virus x", "cell")]
+    got = run(triples, """
+        SELECT ?s ?o WHERE { ?s "infect" ?o . FILTER(!(?o = "cell")) }""")
+    assert got == [("ebola", "host")]
+    # parens override precedence
+    got = run(triples, """
+        SELECT ?s ?o WHERE { ?s "infect" ?o .
+          FILTER((?o = "host" || ?o = "cell") && !(?s = "virus x")) }""")
+    assert got == [("ebola", "cell"), ("ebola", "host")]
+
+
+def test_bound_filter(triples):
+    # contain heads: cell→genome(encodes protein: bound),
+    # host→cell / self→self (unbound)
+    got = run(triples, """
+        SELECT ?s ?g WHERE { ?s "contain" ?x .
+          OPTIONAL { ?x "encode" ?g } FILTER(!BOUND(?g)) }""")
+    assert got == [("host", None), ("self", None)]
+    got = run(triples, """
+        SELECT ?s ?g WHERE { ?s "contain" ?x .
+          OPTIONAL { ?x "encode" ?g } FILTER(BOUND(?g)) }""")
+    assert got == [("cell", "protein")]
+
+
+def test_round6b_validation_errors(triples):
+    bad = [
+        # BOUND of a variable the query never binds
+        'SELECT ?s WHERE { ?s "infect" ?o . FILTER(BOUND(?zz)) }',
+        # BOUND in HAVING
+        ('SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s "infect" ?o } '
+         'GROUP BY ?s HAVING (BOUND(?n))'),
+        # unbound var inside a connective branch
+        ('SELECT ?s WHERE { ?s "infect" ?o . '
+         'FILTER(?o = "cell" || ?zz = "x") }'),
+    ]
+    for q in bad:
+        with pytest.raises(S.SparqlError):
+            S.sparql(triples, q)
+    # dangling operator / unbalanced parens are parse errors
+    for q in ['SELECT ?s WHERE { ?s "infect" ?o . FILTER(?o = "c" &&) }',
+              'SELECT ?s WHERE { ?s "infect" ?o . FILTER((?o = "c") }']:
+        with pytest.raises(S.SparqlError):
+            S.parse(q)
+
+
+ROUND6B_TWIN_QUERIES = [
+    ('SELECT ?s (SUM(?l) AS ?t) (AVG(?l) AS ?m) WHERE '
+     '{ ?s ?p ?o . BIND (STRLEN(?o) AS ?l) } GROUP BY ?s '
+     'HAVING (?m >= 5)'),
+    ('SELECT ?p (SUM(DISTINCT ?l) AS ?t) WHERE '
+     '{ ?s ?p ?o . BIND (STRLEN(?s) AS ?l) } GROUP BY ?p '
+     'ORDER BY ?p'),
+    'SELECT (SUM(?o) AS ?t) WHERE { ?s "mutate" ?o }',
+    ('SELECT ?s ?o WHERE { ?s "infect" ?o . '
+     'FILTER(?o = "host" || STRSTARTS(?o, "c") && ?s != "ebola") }'),
+    ('SELECT ?s ?o WHERE { ?s ?p ?o . '
+     'FILTER(!(CONTAINS(?s, "e") || CONTAINS(?o, "e"))) }'),
+    ('SELECT ?s ?g WHERE { ?s "contain" ?x . '
+     'OPTIONAL { ?x "encode" ?g } FILTER(!BOUND(?g)) }'),
+    ('SELECT ?s ?g WHERE { ?s "infect" ?x . '
+     'OPTIONAL { ?x "contain" ?g FILTER(?g != "genome" && '
+     '!CONTAINS(?g, "self")) } }'),
+    ('SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s '
+     'HAVING (?n >= 2 && ?s != "ebola") ORDER BY ?s'),
+]
+
+
+@pytest.mark.parametrize("query", ROUND6B_TWIN_QUERIES)
+def test_duckdb_twin_round6b(triples, query):
+    assert run(triples, query) == _twin(TRIPLES, query)
