@@ -292,10 +292,12 @@ def glove_loss_local(cooc_np: np.ndarray, W, Wt, b, bt,
 
 def embeddings_df(spark, vocab: list[str], W: np.ndarray,
                   Wt: np.ndarray) -> DataFrame:
-    """(word, embedding array<double>) — the published ``W + W̃``
-    vectors, joinable against mentions exactly like the synthesized
-    ``embeddings.parquet`` input table this trainer replaces."""
+    """(token, vector array<float>) — the published ``W + W̃`` vectors
+    in the exact schema of the synthesized embeddings input table
+    (``sources/corpus.embeddings_df``), so the trained vectors drop
+    straight into ``canon.mention_embeddings`` / ``cluster_entities``
+    in place of the table this trainer replaces."""
     V = W + Wt
     rows = [(w, [float(x) for x in V[i]]) for i, w in enumerate(vocab)]
-    return spark.createDataFrame(rows, "word string, "
-                                       "embedding array<double>")
+    return spark.createDataFrame(rows, "token string, "
+                                       "vector array<float>")

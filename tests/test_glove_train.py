@@ -124,6 +124,33 @@ def test_embeddings_df_shape(spark, docs):
     W, Wt, _, _ = G.train_glove_local(rows, len(vocab), dim=4,
                                       epochs=1)
     df = G.embeddings_df(spark, vocab, W, Wt)
-    got = {r["word"]: r["embedding"] for r in df.collect()}
+    got = {r["token"]: r["vector"] for r in df.collect()}
     assert set(got) == set(vocab)
-    np.testing.assert_allclose(got[vocab[0]], (W + Wt)[0])
+    np.testing.assert_allclose(got[vocab[0]], (W + Wt)[0], rtol=1e-6)
+
+
+def test_trained_vectors_drive_entity_clustering(spark):
+    """End-to-end replacement of the embeddings input table: GloVe
+    vectors trained in-engine feed canon.cluster_entities directly
+    (same (token, vector) schema), and mentions built from
+    co-occurring words cluster together."""
+    from multivac_spark.operators import canon
+
+    docs = spark.createDataFrame(
+        [("alpha beta filler%d" % (i % 5),) for i in range(60)]
+        + [("gamma delta filler%d" % (i % 5),) for i in range(60)],
+        "text string")
+    vocab = G.top_vocab(docs, 20)
+    cooc = G.build_cooccurrence(docs, vocab, window=2)
+    W, Wt, _, _ = G.train_glove(cooc, len(vocab), dim=12, epochs=60,
+                                lr=0.1)
+    emb = G.embeddings_df(spark, vocab, W, Wt)
+    assert dict(emb.dtypes) == {"token": "string",
+                                "vector": "array<float>"}
+    mentions = spark.createDataFrame(
+        [("alpha beta",), ("beta alpha",), ("gamma delta",)],
+        "mention string")
+    out = canon.cluster_entities(mentions, emb, threshold=0.2)
+    labels = {r["mention"]: r["label"] for r in out.collect()}
+    assert labels["alpha beta"] == labels["beta alpha"]
+    assert labels["alpha beta"] != labels["gamma delta"]
