@@ -1770,6 +1770,82 @@ SELECT q_id, neighbor, rank, cos_e4 FROM ranked WHERE rank <= {k}
 """
 
 
+def q_ann_bucketed(spark, sf_dir):
+    """LSH + IVF bucketed ANN as one digest (round-6 consolidation:
+    the two scale-path variants of the similarity-search row share an
+    output shape, so merging them frees a registry slot under the
+    driver's 50-cap). Each method's full pipeline — signatures /
+    codebook cells, probing, exact-cosine re-rank — is reproduced
+    independently by its half of the SQL twin."""
+    lsh = q_ann_lsh(spark, sf_dir).withColumn("method", F.lit("lsh"))
+    ivf = q_ann_ivf(spark, sf_dir).withColumn("method", F.lit("ivf"))
+    return lsh.unionByName(ivf)
+
+
+def _ann_bucketed_sql() -> str:
+    return (f"SELECT 'lsh' AS method, t.* FROM ({_ann_lsh_sql()}) t "
+            f"UNION ALL "
+            f"SELECT 'ivf' AS method, t.* FROM ({_ann_ivf_sql()}) t")
+
+
+_GLOVE_V = 50
+_GLOVE_WIN = 3
+_GLOVE_TOP = 200
+
+
+def q_glove_cooc(spark, sf_dir):
+    """The distributed GloVe co-occurrence pass (operators/
+    glove_train, round 6 — the reference's trainEmbeddings.R
+    boundary): top-V vocabulary by token count, windowed 1/distance
+    pairs generated per-row with array HOFs (no positional
+    self-join), weights int64-quantized BEFORE the groupBy sum so the
+    matrix is bit-identical at any parallelism. The training stage is
+    pytest-pinned (distributed == numpy-twin bit-identity,
+    tests/test_glove_train.py); this entry driver-grades the corpus
+    pass against an independent SQL rebuild (regexp tokenization +
+    lateral position/offset expansion). Top rows by weight, total
+    order (xq desc, w1, w2) so the cut is engine-independent."""
+    from multivac_spark.operators import glove_train
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = glove_train.top_vocab(docs, _GLOVE_V)
+    cooc = glove_train.build_cooccurrence(docs, vocab,
+                                          window=_GLOVE_WIN)
+    vdf = F.broadcast(spark.createDataFrame(
+        [(w, i) for i, w in enumerate(vocab)], "w string, id int"))
+    return (cooc
+            .join(vdf.withColumnRenamed("w", "w1")
+                  .withColumnRenamed("id", "wi"), "wi")
+            .join(vdf.withColumnRenamed("w", "w2")
+                  .withColumnRenamed("id", "wj"), "wj")
+            .select("w1", "w2", "xq")
+            .orderBy(F.desc("xq"), "w1", "w2").limit(_GLOVE_TOP))
+
+
+SQL_GLOVE_COOC = rf"""
+WITH docs2 AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+vocab AS (
+  SELECT tok FROM (SELECT unnest(toks) AS tok FROM docs2) u
+  GROUP BY tok ORDER BY count(*) DESC, tok LIMIT {_GLOVE_V}),
+pairs AS (
+  SELECT toks[i] AS a, toks[i + d] AS b,
+         CAST(round({1 << 20}.0 / d) AS BIGINT) AS wq
+  FROM docs2,
+       unnest(generate_series(1, len(toks) - 1)) t1(i),
+       unnest(generate_series(1, {_GLOVE_WIN})) t2(d)
+  WHERE i + d <= len(toks)),
+sym AS (SELECT a, b, wq FROM pairs
+        UNION ALL SELECT b AS a, a AS b, wq FROM pairs)
+SELECT s.a AS w1, s.b AS w2, SUM(s.wq) AS xq
+FROM sym s JOIN vocab va ON s.a = va.tok JOIN vocab vb ON s.b = vb.tok
+GROUP BY s.a, s.b
+ORDER BY xq DESC, w1, w2 LIMIT {_GLOVE_TOP}
+"""
+
+
 def q_minhash_dup_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_dup_pairs(docs, bands=4, rows=2)
@@ -2475,8 +2551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental_counts": q_kg_incremental_counts,
         "kron_fit": q_kron_fit,
         "eigenvector_centrality": q_eigenvector_centrality,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
+        "ann_bucketed": q_ann_bucketed,
+        "glove_cooc": q_glove_cooc,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "subword_tokens": q_subword_tokens,
@@ -2530,8 +2606,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_incremental_counts": SQL_INC_COUNTS,
         "kron_fit": SQL_KRON_FIT,
         "eigenvector_centrality": SQL_EIGEN,
-        "ann_lsh": _ann_lsh_sql(),
-        "ann_ivf": _ann_ivf_sql(),
+        "ann_bucketed": _ann_bucketed_sql(),
+        "glove_cooc": SQL_GLOVE_COOC,
         "minhash_dup_pairs": _minhash_pairs_sql(),
         "simhash_dup_pairs": _simhash_pairs_sql(),
         "subword_tokens": _subword_sql(),
