@@ -114,6 +114,28 @@ GROUP BY event_type ORDER BY cnt DESC, event_type ASC LIMIT 5
 """
 
 
+def q_topn_digest(spark, sf_dir):
+    """topn_entities + topn_relations as one digest (round-6
+    consolidation: both are tiny top-N shapes over materialize
+    semantics and share an output schema after a rename, so merging
+    frees a registry slot under the driver's 50-cap for
+    `usp_clusters`)."""
+    ent = (q_topn_entities(spark, sf_dir)
+           .select(F.lit("entity").alias("kind"),
+                   F.col("token").alias("key"), "cnt"))
+    rel = (q_topn_relations(spark, sf_dir)
+           .select(F.lit("relation").alias("kind"),
+                   F.col("event_type").alias("key"), "cnt"))
+    return ent.unionByName(rel)
+
+
+SQL_TOPN_DIGEST = (
+    f"SELECT 'entity' AS kind, token AS key, cnt FROM ({SQL_TOPN_ENT}) "
+    f"UNION ALL "
+    f"SELECT 'relation' AS kind, event_type AS key, cnt FROM ({SQL_TOPN_REL})"
+)
+
+
 def q_distinct_dedup(spark, sf_dir):
     """set-style dedup (np.unique / dropDuplicates, SURVEY §2.8)."""
     ev = _t(spark, sf_dir, "events")
@@ -1303,6 +1325,62 @@ def q_kg_pipeline_synth(spark, sf_dir):
 
 SQL_KG_SYNTH = (f"SELECT CAST({KG_SYNTH_N} AS BIGINT) AS n_triples, "
                 f"'{KG_SYNTH_HASH}' AS set_hash")
+
+
+# USP/MLN semantic clustering digest golden (operators/usp.py, round
+# 6 — the pymln subsystem, SURVEY §2.6's last non-goal). Pinned from
+# two independent runs at local[4]/sp=8 and local[16]/sp=32 (identical
+# both times; the agenda itself runs driver-side on collected weighted
+# classes, so only the Spark class-extraction/labeling pass varies
+# with parallelism). Correctness anchor = tests/test_usp.py (weighted
+# == expanded identity, score == ΔL, planted-behavior corpora); this
+# digest pins the end-to-end flow against regressions, same pattern as
+# KG_SYNTH_HASH. Greedy gates relaxed from ParseParams defaults
+# (10/50 → 4/12) so MERGE and COMPOSE ops actually fire at this
+# corpus size.
+USP_N_CLUSTERS = 192
+USP_N_LABELS = 5093
+USP_LABEL_HASH = "094afe5cde1ccba568a54b5c2ad9a517"
+
+
+def q_usp_clusters(spark, sf_dir):
+    """USP semantic clustering end-to-end on the synthetic corpus
+    (sf_dir intentionally unused — the corpus is the pipeline's own
+    deterministic input): extract → clean → parse → weighted
+    distinct-tree classes (Spark) → exact greedy MERGE/COMPOSE agenda
+    (driver) → per-token labels (broadcast join), reduced to
+    (n_clusters, n_labels, md5 over the sorted label set)."""
+    from multivac_spark.functions.clean import clean_text_stage
+    from multivac_spark.functions.html_text import extract_text_stage
+    from multivac_spark.functions.parse import parse_stage
+    from multivac_spark.operators import usp
+    from multivac_spark.sources import corpus, vocab
+
+    docs = corpus.documents_df(spark, 40)
+    lex = vocab.pos_lexicon()
+    lemmas = dict(vocab.verb_lemma_table())
+    for c, vs in vocab.noun_variants().items():
+        for v in vs:
+            lemmas.setdefault(v, c)
+    cleaned = clean_text_stage(extract_text_stage(docs), frozenset(lex))
+    sents = parse_stage(cleaned.filter("lang = 'en'"), lex, lemmas)
+    sents = sents.localCheckpoint()   # parse once, reuse for labeling
+    model, assignments = usp.induce_usp(
+        sents, usp.UspParams(min_mc_cnt=4, min_abs_cnt=12))
+    labeled = usp.assign_clusters(sents, assignments)
+    return (labeled
+            .agg(F.lit(len(model.clusts)).alias("n_clusters"),
+                 F.count("*").alias("n_labels"),
+                 F.md5(F.concat_ws("\n", F.array_sort(F.collect_list(
+                     F.concat_ws("|", "url", "sent_id",
+                                 F.col("i").cast("string"),
+                                 F.col("clust").cast("string"))))))
+                 .alias("label_hash")))
+
+
+SQL_USP = (f"SELECT CAST({USP_N_CLUSTERS} AS INT) AS n_clusters, "
+           f"CAST({USP_N_LABELS} AS BIGINT) AS n_labels, "
+           f"'{USP_LABEL_HASH}' AS label_hash")
 
 
 # golden digests for the two non-default pipeline routes, pinned the
@@ -2515,8 +2593,8 @@ SELECT 'nt_triples', count(*),
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "relational_forms": q_relational_forms,
-        "topn_entities": q_topn_entities,
-        "topn_relations": q_topn_relations,
+        "topn_digest": q_topn_digest,
+        "usp_clusters": q_usp_clusters,
         "distinct_dedup": q_distinct_dedup,
         "id_assignment": q_id_assignment,
         "type_constraint": q_type_constraint,
@@ -2570,8 +2648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "relational_forms": SQL_RELATIONAL,
-        "topn_entities": SQL_TOPN_ENT,
-        "topn_relations": SQL_TOPN_REL,
+        "topn_digest": SQL_TOPN_DIGEST,
+        "usp_clusters": SQL_USP,
         "distinct_dedup": SQL_DISTINCT,
         "id_assignment": SQL_IDS,
         "type_constraint": SQL_TYPE_CONSTRAINT,

@@ -141,7 +141,10 @@ def main() -> None:
 
     # ---- operator benchmarks over the driver tables ----------------------
     bench_queries = [
-        "scan_filter_project", "topn_entities", "broadcast_join_agg",
+        # round 6: scan_filter_project and topn_entities were
+        # consolidated into these digest entries (registry 50-cap);
+        # each digest runs a superset of the old line item's work
+        "relational_forms", "topn_digest", "broadcast_join_agg",
         "window_topk", "distinct_dedup", "degree_centrality",
         "text_signals",
         "minhash_signature", "simhash_dup_pairs", "ngram_jaccard",

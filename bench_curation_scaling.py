@@ -172,7 +172,7 @@ def main() -> None:
 
     md = (
         f"\n## Curation-pipeline scaling ({N_CORES} vs {4 * N_CORES} cores, "
-        "same input) — round 5\n\n"
+        "same input)\n\n"
         f"Full web-curation flow (html→text → blocklist → per-domain cap "
         f"→ PII scrub → bigram-LM threshold → repetition filter → "
         f"MinHash-LSH dedup) over a pre-materialized {N_DOCS}-doc corpus, "
@@ -184,7 +184,7 @@ def main() -> None:
         f"| local[{4 * N_CORES}] | {r16['wall_sec']} | {r16['head_sec']} | "
         f"{r16['quality_sec']} | {r16['dedup_sec']} | "
         f"{r16['docs_per_sec']} |\n\n"
-        f"**Scaling efficiency (T_4/T_16)/4 = {eff:.3f}** (same ≥0.8 "
+        f"**Scaling efficiency (T_{N_CORES}/T_{4 * N_CORES})/4 = {eff:.3f}** (same ≥0.8 "
         f"criterion as the KG pipeline). Funnel: {r4['capped']} capped → "
         f"{r4['survivors']} quality survivors → {r4['final']} after "
         f"dedup. **Surviving-set digest match across parallelism levels: "
