@@ -69,6 +69,8 @@ import math
 
 from dataclasses import dataclass
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 
 # StanfordParseReader.py:17-32 — dependency edges severed before part
@@ -1024,18 +1026,68 @@ def induce_usp(sents: DataFrame, params: UspParams | None = None,
     return model, F.broadcast(out)
 
 
-def assign_clusters(sents: DataFrame, assignments: DataFrame) -> DataFrame:
+def assign_clusters(sents: DataFrame, assignments: DataFrame,
+                    model: UspModel | None = None) -> DataFrame:
     """Per-token cluster labels for a corpus: recompute each
-    sentence's tree key and broadcast-join the class assignments."""
+    sentence's tree key and broadcast-join the class assignments.
+
+    With ``model`` given, sentences whose tree class fell outside the
+    agenda's dictionary budget (``max_classes``) are labeled too —
+    with their INIT cluster (one per relation type, the pre-agenda
+    assignment), fully distributed: the exact kept-token walk runs as
+    an Arrow-batched UDF per sentence and the bounded
+    reltype→cluster map broadcast-joins. This is the 100-TB contract:
+    the greedy agenda refines the frequent structures; the long tail
+    keeps first-order semantics instead of silently dropping."""
     toks = F.transform(
         "tokens",
         lambda t: F.struct(*[t[c].alias(c) for c in TREE_KEY_COLS]))
     keyed = (sents
              .withColumn("tree_key", F.sha2(F.to_json(toks), 256))
-             .select("url", "sent_id", "tree_key",
-                     F.explode("tokens").alias("tok"))
-             .select("url", "sent_id", "tree_key",
-                     F.col("tok.i").alias("i"),
-                     F.col("tok.lemma").alias("lemma"),
-                     F.col("tok.pos").alias("pos")))
-    return keyed.join(assignments, ["tree_key", "i"], "inner")
+             .select("url", "sent_id", "tree_key", "tokens"))
+    exploded = (keyed
+                .select("url", "sent_id", "tree_key",
+                        F.explode("tokens").alias("tok"))
+                .select("url", "sent_id", "tree_key",
+                        F.col("tok.i").alias("i"),
+                        F.col("tok.lemma").alias("lemma"),
+                        F.col("tok.pos").alias("pos")))
+    hit = exploded.join(assignments, ["tree_key", "i"], "inner")
+    if model is None:
+        return hit
+    spark = sents.sparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def kept_ids(tok_arrays: pd.Series) -> pd.Series:
+        return tok_arrays.map(
+            lambda ts: sorted(UspModel.kept_token_ids(
+                [t if isinstance(t, dict) else dict(t) for t in ts])))
+
+    rel_map = F.broadcast(spark.createDataFrame(
+        sorted(model.rel_clust.items()), "rel string, clust int"))
+    dict_keys = F.broadcast(
+        assignments.select("tree_key").distinct())
+    tail = (keyed
+            .join(dict_keys, "tree_key", "left_anti")
+            .withColumn("_kept", kept_ids("tokens"))
+            .select("url", "sent_id", "tree_key", "_kept",
+                    F.explode("tokens").alias("tok"))
+            .filter(F.array_contains("_kept", F.col("tok.i")))
+            .select("url", "sent_id", "tree_key",
+                    F.col("tok.i").alias("i"),
+                    F.col("tok.lemma").alias("lemma"),
+                    F.col("tok.pos").alias("pos")))
+    first_char = F.substring("pos", 1, 1)
+    rel = F.concat(
+        F.lit("("),
+        F.when(first_char.isin(*CONTENT_POS), first_char)
+         .otherwise(F.col("pos")),
+        F.lit(":"), F.col("lemma"), F.lit(")"))
+    # reltypes never seen in any dictionary class carry no model
+    # cluster: explicit -1 sentinel ("unmodeled"), not a silent drop
+    tail = (tail.withColumn("rel", rel)
+            .join(rel_map, "rel", "left")
+            .withColumn("clust", F.coalesce("clust", F.lit(-1)))
+            .drop("rel"))
+    return hit.unionByName(tail)

@@ -15,7 +15,7 @@ import math
 import pytest
 
 from multivac_spark.operators import usp
-from multivac_spark.operators.usp import UspModel, UspParams, xlogx
+from multivac_spark.operators.usp import UspModel, UspParams
 
 
 def T(i, lemma, pos, head, dep):
@@ -324,3 +324,28 @@ def test_induce_usp_end_to_end(spark, mini_sents):
     # the broadcast-join plan stays broadcast (no SMJ on the label join)
     plan = labeled._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_tail_fallback_labels(spark, mini_sents):
+    # tiny dictionary budget: most trees fall to the distributed
+    # init-cluster fallback path
+    model, assignments = usp.induce_usp(
+        mini_sents, UspParams(min_mc_cnt=3, min_abs_cnt=10),
+        max_classes=25)
+    labeled = usp.assign_clusters(mini_sents, assignments, model)
+    # coverage: every kept token everywhere gets a label
+    kept_total = sum(
+        r["weight"] * len(UspModel.kept_token_ids(
+            [t.asDict() for t in r["toks"]]))
+        for r in usp.sentence_tree_classes(mini_sents).collect())
+    assert labeled.count() == kept_total
+    # tail rows label with the model's init/merged cluster for their
+    # relation type (or the explicit -1 unmodeled sentinel)
+    dict_keys = {r["tree_key"] for r in assignments.select(
+        "tree_key").distinct().collect()}
+    from multivac_spark.operators.usp import token_type_str
+    for r in labeled.collect()[:2000]:
+        if r["tree_key"] in dict_keys:
+            continue
+        rel = f"({token_type_str(r['pos'], r['lemma'])})"
+        assert r["clust"] == model.rel_clust.get(rel, -1)
