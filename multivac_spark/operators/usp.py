@@ -1026,6 +1026,97 @@ def induce_usp(sents: DataFrame, params: UspParams | None = None,
     return model, F.broadcast(out)
 
 
+def model_tables(spark, model: UspModel) -> dict[str, DataFrame]:
+    """The induced MLN state as DataFrames — the SURVEY §2.1 row-11
+    equivalent of the reference's pickled global dicts
+    (``MLN.save_mln``, MLN.py:47-63: Clust.clusts +
+    relTypeIdx_clustIdx + part indices): ``clusters`` (one row per
+    cluster×reltype), ``arg_clusters`` (per argclust totals),
+    ``arg_cluster_argtypes`` / ``arg_cluster_children`` (the two
+    multinomials the scorer reads), and ``parts`` (one row per
+    dictionary class part). All bounded by the class dictionary, so
+    they write as ordinary small parquet tables."""
+    clusters, acs, ats, chd, parts = [], [], [], [], []
+    for cid, cl in sorted(model.clusts.items()):
+        for rt, c in sorted(cl.reltype_cnt.items()):
+            clusters.append((cid, rt, c, cl.ttl, cl.root_w, cl.ctype,
+                             cl.is_stop))
+        for aci, ac in sorted(cl.argclusts.items()):
+            acs.append((cid, aci, ac.ttl_arg, ac.part_w))
+            for at, c in sorted(ac.argtype_cnt.items()):
+                ats.append((cid, aci, at, c))
+            for cc, c in sorted(ac.chd_cnt.items()):
+                chd.append((cid, aci, cc, c))
+    for pid in sorted(model.parts):
+        n = model.parts[pid]
+        parts.append((n.tree_key, n.tok_i, n.rel, n.clust, n.w,
+                      n.parent.pid if n.parent is not None else None,
+                      n.dep))
+    return {
+        "clusters": spark.createDataFrame(
+            clusters, "clust int, reltype string, cnt bigint, "
+                      "ttl bigint, root_w bigint, ctype string, "
+                      "is_stop boolean"),
+        "arg_clusters": spark.createDataFrame(
+            acs, "clust int, aci int, ttl_arg bigint, part_w bigint"),
+        "arg_cluster_argtypes": spark.createDataFrame(
+            ats, "clust int, aci int, argtype string, cnt bigint"),
+        "arg_cluster_children": spark.createDataFrame(
+            chd, "clust int, aci int, chd_clust int, cnt bigint"),
+        "parts": spark.createDataFrame(
+            parts, "tree_key string, tok_i int, reltype string, "
+                   "clust int, weight bigint, parent_pid bigint, "
+                   "dep string"),
+    }
+
+
+def print_clustering(model: UspModel) -> str:
+    """MLN.printClustering (MLN.py:28-45) text shape: one line per
+    cluster — ``id [reltype:cnt, ...]`` — then one tab-indented line
+    per argclust with its argtype counts and total."""
+    out = ["=== Clustering ==="]
+    for cid, cl in sorted(model.clusts.items()):
+        rts = ",\t".join(f"{rt}:{c}"
+                         for rt, c in sorted(cl.reltype_cnt.items()))
+        out.append(f"{cid} [{rts}]")
+        for aci, ac in sorted(cl.argclusts.items()):
+            ats = ",".join(f"{at}:{c}"
+                           for at, c in sorted(ac.argtype_cnt.items()))
+            out.append(f"\t{aci}\t[{ats}]\t{ac.ttl_arg}")
+    return "\n".join(out) + "\n"
+
+
+def print_mln(model: UspModel) -> str:
+    """MLN.printMLN (MLN.py:93-127) text shape: per cluster, each
+    argclust's argnum / argtype / child-cluster count dicts."""
+    out = []
+    for cid, cl in sorted(model.clusts.items()):
+        rts = ",\t".join(f"{rt}:{c}"
+                         for rt, c in sorted(cl.reltype_cnt.items()))
+        out.append(f"{cid}\t[{rts}]")
+        for aci, ac in sorted(cl.argclusts.items()):
+            out.append("\t{}: ".format(aci) + "\t".join(
+                f"{k}: {v}" for k, v in sorted(ac.argnum_cnt.items())))
+            out.append("\t" + "\t".join(
+                f"{k}: {v}" for k, v in sorted(ac.argtype_cnt.items())))
+            out.append("\t" + "\t".join(
+                f"{k}: {v}" for k, v in sorted(ac.chd_cnt.items())))
+    return "\n".join(out) + "\n"
+
+
+def write_mln(model: UspModel, path: str) -> None:
+    """MLN.printModel (MLN.py:18-26): write the ``.clustering`` and
+    ``.mln`` text dumps."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    base = os.path.basename(os.path.normpath(path)) or "model"
+    with open(os.path.join(path, base + ".clustering"), "w") as f:
+        f.write(print_clustering(model))
+    with open(os.path.join(path, base + ".mln"), "w") as f:
+        f.write(print_mln(model))
+
+
 def assign_clusters(sents: DataFrame, assignments: DataFrame,
                     model: UspModel | None = None) -> DataFrame:
     """Per-token cluster labels for a corpus: recompute each

@@ -349,3 +349,34 @@ def test_tail_fallback_labels(spark, mini_sents):
             continue
         rel = f"({token_type_str(r['pos'], r['lemma'])})"
         assert r["clust"] == model.rel_clust.get(rel, -1)
+
+
+def test_model_tables_and_mln_export(spark, tmp_path):
+    trees = merge_corpus(w=2)
+    m = UspModel.from_trees(trees)
+    m.induce()
+    tables = usp.model_tables(spark, m)
+    # cluster mass reconciles with the parts table at every level
+    ttl = {r["clust"]: r["ttl"] for r in tables["clusters"].collect()}
+    from collections import Counter
+    part_mass = Counter()
+    for r in tables["parts"].collect():
+        part_mass[r["clust"]] += r["weight"]
+    assert dict(part_mass) == ttl
+    # arg mass: every argclust total equals its argtype histogram sum
+    at_sum = {(r["clust"], r["aci"]): 0 for r in
+              tables["arg_clusters"].collect()}
+    for r in tables["arg_cluster_argtypes"].collect():
+        at_sum[(r["clust"], r["aci"])] += r["cnt"]
+    for r in tables["arg_clusters"].collect():
+        assert at_sum[(r["clust"], r["aci"])] == r["ttl_arg"]
+    # text dumps in the reference's printModel shapes
+    usp.write_mln(m, str(tmp_path / "model"))
+    clustering = (tmp_path / "model" / "model.clustering").read_text()
+    assert clustering.startswith("=== Clustering ===")
+    acq = m.rel_clust["(V:acquire)"]
+    line = next(ln for ln in clustering.splitlines()
+                if ln.startswith(f"{acq} ["))
+    assert "(V:acquire)" in line and "(V:purchase)" in line
+    mln = (tmp_path / "model" / "model.mln").read_text()
+    assert f"{acq}\t[" in mln
