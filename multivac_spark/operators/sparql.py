@@ -206,6 +206,7 @@ class _Query:
     offset: int = None         # OFFSET m — skipped before LIMIT
     binds: list = None   # (alias, expr-tree) from BIND / SELECT exprs
     having: list = None  # post-aggregate conditions (same cond tuples)
+    subqueries: list = None  # nested SELECT _Query blocks (§12)
 
 
 @dataclass
@@ -466,6 +467,22 @@ def _parse_group(ts: _Tokens, base: str, q: _Query, optional: bool):
             ts.next()
             continue
         if t == ("punct", "{"):
+            nxt = (ts.toks[ts.pos + 1]
+                   if ts.pos + 1 < len(ts.toks) else None)
+            if nxt is not None and nxt[0] == "word" \
+                    and nxt[1].upper() == "SELECT":
+                # § 12 subquery: evaluated bottom-up, then inner-joined
+                # with the rest of the group on its projected variables
+                if optional:
+                    raise SparqlError(
+                        "subquery inside OPTIONAL is not supported")
+                ts.next()
+                sub = _parse_query_body(ts, base, subquery=True)
+                ts.expect("}")
+                if q.subqueries is None:
+                    q.subqueries = []
+                q.subqueries.append(sub)
+                continue
             if optional:
                 raise SparqlError("UNION inside OPTIONAL is not supported")
             q.patterns.append(_parse_union(ts, base))
@@ -775,7 +792,23 @@ def parse(query: str, base: str = DEFAULT_BASE) -> _Query:
         if iri[0] != "iri":
             raise SparqlError("PREFIX needs an <iri>")
         ts.prefixes[name[1][:-1]] = iri[1][1:-1]
-    form = ts.expect("SELECT", "CONSTRUCT", "ASK", "DESCRIBE")
+    q = _parse_query_body(ts, base)
+    if ts.peek() is not None:
+        raise SparqlError(f"trailing tokens after query: "
+                          f"{ts.peek()[1]!r}")
+    return q
+
+
+def _parse_query_body(ts: _Tokens, base: str,
+                      subquery: bool = False) -> _Query:
+    """One query body (form, WHERE group, solution modifiers) —
+    reentrant so a ``{ SELECT ... }`` subquery (§12) parses with the
+    full machinery; the modifier loop stops at the subquery's closing
+    brace."""
+    if subquery:
+        form = ts.expect("SELECT")
+    else:
+        form = ts.expect("SELECT", "CONSTRUCT", "ASK", "DESCRIBE")
     distinct = False
     construct = None
     describe = None
@@ -842,7 +875,8 @@ def parse(query: str, base: str = DEFAULT_BASE) -> _Query:
         ts.expect("WHERE")
     q = _Query(select, distinct, [], [], [], None, construct,
                aggs, [], [], [], ask=(form == "ASK"), describe=describe,
-               optionals=[], anon=set(), binds=[], having=[])
+               optionals=[], anon=set(), binds=[], having=[],
+               subqueries=[])
     if form != "DESCRIBE" or ts.peek() is not None:
         _parse_group(ts, base, q, optional=False)
     # SELECT expressions evaluate over the group solution, after the
@@ -852,7 +886,7 @@ def parse(query: str, base: str = DEFAULT_BASE) -> _Query:
         # the triple SET a CONSTRUCT emits is unordered, so ORDER/LIMIT
         # would be nondeterministic — rejected rather than surprising
         raise SparqlError("CONSTRUCT does not take solution modifiers")
-    while ts.peek() is not None:
+    while ts.peek() is not None and ts.peek() != ("punct", "}"):
         kw = ts.expect("ORDER", "LIMIT", "OFFSET", "GROUP", "HAVING")
         if kw == "HAVING":
             q.having.append(_parse_cond(ts, base))
@@ -898,6 +932,25 @@ def parse(query: str, base: str = DEFAULT_BASE) -> _Query:
     return q
 
 
+def _projected_vars(sub: _Query) -> set:
+    """A subquery's output columns, statically (join keys for the
+    outer query and the SQL twin)."""
+    if sub.aggs:
+        return set(sub.select)
+    if sub.select != ["*"]:
+        return set(sub.select)
+    bound = set()
+    for p in sub.patterns:
+        bound |= p.vars
+    for pats, _ in sub.optionals or []:
+        for p in pats:
+            bound |= p.vars
+    bound |= {a for a, _ in sub.binds or []}
+    for s2 in sub.subqueries or []:
+        bound |= _projected_vars(s2)
+    return bound - (sub.anon or set())
+
+
 def _validate(q: _Query):
     if q.ask or q.describe is not None:
         if q.order or q.limit is not None or q.offset is not None \
@@ -910,12 +963,18 @@ def _validate(q: _Query):
             raise SparqlError(
                 "DESCRIBE of a variable needs a WHERE clause binding it")
         return
-    if not q.patterns:
+    sq_vars = set()
+    for sub in q.subqueries or []:
+        # the subquery itself was validated by its own body parse;
+        # here it contributes its projection as required-bound vars
+        sq_vars |= _projected_vars(sub)
+    if not q.patterns and not sq_vars:
         if q.optionals:
             raise SparqlError(
                 "WHERE needs at least one non-OPTIONAL pattern")
         raise SparqlError("empty WHERE clause")
-    required = set().union(*(p.vars for p in q.patterns))
+    required = set().union(sq_vars,
+                           *(p.vars for p in q.patterns))
     bound = set(required)
     seen_opt = set()
     for pats, filts in q.optionals or []:
@@ -1347,7 +1406,16 @@ def _solve(triples: DataFrame, q: _Query) -> tuple:
     # the closure can seed from the bound values (_scan_seeded).
     required.sort(key=lambda p: (bool(p.path), -p.n_const))
 
-    acc, bound = _scan_any(triples, required[0], 0)
+    # §12 subqueries evaluate bottom-up through the full pipeline
+    # (their own aggregates / ORDER / LIMIT included) and inner-join
+    # like required patterns, before any OPTIONAL left-joins
+    sub_frames = [compile_bgp(triples, sub)
+                  for sub in (q.subqueries or [])]
+    if required:
+        acc, bound = _scan_any(triples, required[0], 0)
+    else:
+        acc = sub_frames.pop(0)
+        bound = set(acc.columns)
     for i, p in enumerate(required[1:], start=1):
         if isinstance(p, _Pattern) and p.path \
                 and p.terms[0][0] == "var" and p.terms[2][0] == "var" \
@@ -1361,6 +1429,12 @@ def _solve(triples: DataFrame, q: _Query) -> tuple:
         on = sorted(bound & pvars)
         acc = acc.join(frame, on=on) if on else acc.crossJoin(frame)
         bound |= pvars
+
+    for frame in sub_frames:
+        svars = set(frame.columns)
+        on = sorted(bound & svars)
+        acc = acc.join(frame, on=on) if on else acc.crossJoin(frame)
+        bound |= svars
 
     # each OPTIONAL group joins as ONE unit (its patterns inner-join
     # first, its scoped FILTERs narrow that frame pre-join — the
@@ -1669,6 +1743,21 @@ def to_sql(q: _Query, table: str = "triples") -> str:
             joins.append(f"{tbl} {t}")
         else:
             joins.append(f"CROSS JOIN {tbl} {t}")
+        conds += local_conds
+    for si, sub in enumerate(q.subqueries or []):
+        # §12 subquery → derived table of its own full to_sql (DuckDB
+        # allows WITH/ORDER/LIMIT inside a parenthesized sub-select),
+        # inner-joined on its projected variables like a pattern
+        t = f"sq{si}"
+        sub_sql = to_sql(sub, table)
+        local_conds = []
+        for v in sorted(_projected_vars(sub)):
+            if v in seen_vars:
+                local_conds.append(f"{t}.{v} = {seen_vars[v]}")
+            else:
+                seen_vars[v] = f"{t}.{v}"
+        joins.append(f"({sub_sql}) {t}" if not joins
+                     else f"CROSS JOIN ({sub_sql}) {t}")
         conds += local_conds
     for gi, (pats, filts) in enumerate(q.optionals or []):
         # one derived table per OPTIONAL group: the group's patterns

@@ -1157,3 +1157,86 @@ ROUND6B_TWIN_QUERIES = [
 @pytest.mark.parametrize("query", ROUND6B_TWIN_QUERIES)
 def test_duckdb_twin_round6b(triples, query):
     assert run(triples, query) == _twin(TRIPLES, query)
+
+
+# ---------------------------------------------------------------------------
+# round 6c: §12 subqueries
+# ---------------------------------------------------------------------------
+
+def test_subquery_top1_per_group(triples):
+    # max object per subject, joined back — the top-N-per-group idiom
+    got = run(triples, """
+        SELECT ?s ?m WHERE {
+          ?s "infect" ?m .
+          { SELECT ?s (MAX(?o) AS ?m) WHERE { ?s "infect" ?o }
+            GROUP BY ?s } }""")
+    assert got == [("ebola", "host"), ("virus x", "cell")]
+
+
+def test_subquery_only_where_with_filter(triples):
+    got = run(triples, """
+        SELECT ?s ?n WHERE {
+          { SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s }
+          FILTER(?n >= 2) }""")
+    assert got == [("ebola", 2), ("virus x", 2)]
+
+
+def test_subquery_inner_select_join(triples):
+    # inner SELECT projects away ?g; outer joins on the surviving ?s
+    got = run(triples, """
+        SELECT ?s ?o WHERE {
+          ?s "infect" ?o .
+          { SELECT ?s WHERE { ?s "mutate" ?g } } }""")
+    assert got == [("virus x", "cell")]
+
+
+def test_subquery_nested(triples):
+    got = run(triples, """
+        SELECT ?s WHERE {
+          { SELECT ?s WHERE {
+              { SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o }
+                GROUP BY ?s }
+              FILTER(?n >= 2) } } }""")
+    assert got == [("ebola",), ("virus x",)]
+
+
+def test_subquery_with_inner_order_limit(triples):
+    got = run(triples, """
+        SELECT ?s ?g WHERE {
+          ?s "mutate" ?g .
+          { SELECT ?s WHERE { ?s "infect" ?o } ORDER BY ?s LIMIT 1 } }""")
+    # inner LIMIT 1 keeps the alphabetically-first infecting subject
+    # (ebola), which mutates nothing — empty join
+    assert got == []
+
+
+SUBQUERY_TWIN = [
+    ('SELECT ?s ?m WHERE { ?s "infect" ?m . '
+     '{ SELECT ?s (MAX(?o) AS ?m) WHERE { ?s "infect" ?o } '
+     'GROUP BY ?s } }'),
+    ('SELECT ?s ?n WHERE { { SELECT ?s (COUNT(*) AS ?n) '
+     'WHERE { ?s ?p ?o } GROUP BY ?s } FILTER(?n >= 2) }'),
+    ('SELECT ?s ?o WHERE { ?s "infect" ?o . '
+     '{ SELECT ?s WHERE { ?s "mutate" ?g } } }'),
+    ('SELECT ?s WHERE { { SELECT ?s WHERE { '
+     '{ SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s } '
+     'FILTER(?n >= 2) } } }'),
+    ('SELECT DISTINCT ?p ?top WHERE { ?s ?p ?o . '
+     '{ SELECT (MAX(?x) AS ?top) WHERE { ?x "contain" ?y } } }'),
+]
+
+
+@pytest.mark.parametrize("query", SUBQUERY_TWIN)
+def test_duckdb_twin_subqueries(triples, query):
+    assert run(triples, query) == _twin(TRIPLES, query)
+
+
+def test_subquery_inside_optional_rejected(triples):
+    with pytest.raises(S.SparqlError, match="subquery inside OPTIONAL"):
+        S.parse('SELECT ?s WHERE { ?s "infect" ?o . '
+                'OPTIONAL { { SELECT ?s WHERE { ?s "mutate" ?g } } } }')
+
+
+def test_trailing_tokens_rejected(triples):
+    with pytest.raises(S.SparqlError, match="trailing tokens"):
+        S.parse('SELECT ?s WHERE { ?s ?p ?o } }')
