@@ -60,6 +60,13 @@ Supported grammar (case-insensitive keywords)::
               | FILTER [NOT] EXISTS { pattern ... }  -- semi/anti-join
               | VALUES ?v { const ... }  -- inline data (filter form)
               | VALUES (?v ...) { (const ...) ... }
+              | { SELECT ... }           -- subquery (§12): evaluated
+                                         --   bottom-up with its own
+                                         --   aggregates/ORDER/LIMIT,
+                                         --   inner-joined on its
+                                         --   projected variables
+                                         --   before OPTIONAL groups;
+                                         --   nests arbitrarily
     pred     := [^][!]pset               -- ^ = inverse (§9.1);
                                          --   ! = negated set (§9.1,
                                          --   constants only)
