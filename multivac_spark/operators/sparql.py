@@ -88,8 +88,15 @@ Supported grammar (case-insensitive keywords)::
               | cond && cond | cond || cond | !cond | ( cond )
                                          -- §17.2 three-valued logic;
                                          --   precedence ! > && > ||
-    expr     := term | CONCAT(expr, ...) | UCASE(expr) | LCASE(expr)
-              | STR(expr) | STRLEN(expr)
+    expr     := term | n | CONCAT(expr, ...) | UCASE(expr)
+              | LCASE(expr) | STR(expr) | STRLEN(expr)
+              | SUBSTR(expr, start[, len])  -- 1-based (§17.4.3.3)
+              | STRBEFORE(expr, "sep") | STRAFTER(expr, "sep")
+                                         -- empty string when the
+                                         --   separator is absent
+                                         --   (§17.4.3.12-13)
+              | REPLACE(expr, "re", "rep")  -- regex, all matches
+              | COALESCE(expr, ...)      -- first bound value (§17.4.1.3)
 
 Compilation is Spark-first and fully declarative:
 
@@ -682,8 +689,14 @@ def _parse_filter(ts: _Tokens, base: str, q: _Query):
     q.filters.append(_parse_cond(ts, base))
 
 
+# name → exact arity (int), variadic (None), or (min, max) range
 _EXPR_FUNCS = {"CONCAT": None, "UCASE": 1, "LCASE": 1, "STR": 1,
-               "STRLEN": 1}
+               "STRLEN": 1, "SUBSTR": (2, 3), "STRBEFORE": 2,
+               "STRAFTER": 2, "REPLACE": 3, "COALESCE": None}
+
+# these take literal (non-variable) trailing arguments: the search /
+# pattern strings compile into the plan on both engines
+_EXPR_CONST_TAIL = {"STRBEFORE": 1, "STRAFTER": 1, "REPLACE": 1}
 
 
 def _parse_expr(ts: _Tokens, base: str):
@@ -699,9 +712,27 @@ def _parse_expr(ts: _Tokens, base: str):
             args.append(_parse_expr(ts, base))
         ts.expect(")")
         arity = _EXPR_FUNCS[func]
-        if arity is not None and len(args) != arity:
+        if isinstance(arity, int) and len(args) != arity:
             raise SparqlError(f"{func} takes {arity} argument(s)")
+        if isinstance(arity, tuple) and not (
+                arity[0] <= len(args) <= arity[1]):
+            raise SparqlError(
+                f"{func} takes {arity[0]}-{arity[1]} arguments")
+        from_arg = _EXPR_CONST_TAIL.get(func)
+        if from_arg is not None:
+            for a in args[from_arg:]:
+                if a[0] not in ("const", "num"):
+                    raise SparqlError(
+                        f"{func} search/pattern arguments must be "
+                        "literals")
+        if func == "SUBSTR":
+            for a in args[1:]:
+                if a[0] != "num":
+                    raise SparqlError(
+                        "SUBSTR position/length must be integers")
         return ("func", func, args)
+    if t[0] == "num":
+        return ("num", int(t[1]))
     if t[0] in ("var", "iri", "lit", "pname"):
         return _term(t, base, ts.prefixes)
     raise SparqlError(f"unsupported expression at {t[1]!r}")
@@ -1528,16 +1559,47 @@ def _expr_col(e):
     """BIND / projection expression tree → a Column."""
     if e[0] == "var":
         return F.col(e[1])
-    if e[0] == "const":
+    if e[0] in ("const", "num"):
         return F.lit(e[1])
     args = [_expr_col(a) for a in e[2]]
+
+    def _strbefore():
+        # §17.4.3.12: empty string when the separator doesn't occur,
+        # NULL only for a NULL input — both pinned against the twin
+        col, sep = args[0], e[2][1][1]
+        pos = F.instr(col, sep)
+        return (F.when(col.isNull(), F.lit(None).cast("string"))
+                .when(pos > 0, F.substring(col, F.lit(1), pos - 1))
+                .otherwise(F.lit("")))
+
+    def _strafter():
+        col, sep = args[0], e[2][1][1]
+        pos = F.instr(col, sep)
+        return (F.when(col.isNull(), F.lit(None).cast("string"))
+                .when(pos > 0,
+                      F.substring(col, pos + len(str(sep)),
+                                  F.length(col)))
+                .otherwise(F.lit("")))
+
     # NULL propagation matches the twin: concat/upper/lower/length of
     # an unbound (NULL) argument is NULL in both engines
     return {"CONCAT": lambda: F.concat(*args),
             "UCASE": lambda: F.upper(args[0]),
             "LCASE": lambda: F.lower(args[0]),
             "STR": lambda: args[0],
-            "STRLEN": lambda: F.length(args[0])}[e[1]]()
+            "STRLEN": lambda: F.length(args[0]),
+            "SUBSTR": lambda: F.substring(
+                args[0], F.lit(e[2][1][1]),
+                F.lit(e[2][2][1]) if len(e[2]) == 3
+                else F.length(args[0])),
+            "STRBEFORE": _strbefore,
+            "STRAFTER": _strafter,
+            # REPLACE is regex-based (§17.4.3.15); Spark replaces all
+            # matches, and the twin passes DuckDB the 'g' flag to do
+            # the same
+            "REPLACE": lambda: F.regexp_replace(
+                args[0], str(e[2][1][1]), str(e[2][2][1])),
+            "COALESCE": lambda: F.coalesce(*args)}[e[1]]()
 
 
 def _all_of(conds):
@@ -1999,9 +2061,29 @@ def _expr_sql(e, aliases: dict) -> str:
         return aliases[e[1]]
     if e[0] == "const":
         return _sql_str(e[1])
+    if e[0] == "num":
+        return str(e[1])
     func, args = e[1], [_expr_sql(a, aliases) for a in e[2]]
     if func == "CONCAT":
         return "(" + " || ".join(args) + ")"
+    if func == "SUBSTR":
+        ln = args[2] if len(args) == 3 else f"length({args[0]})"
+        return f"substring({args[0]}, {args[1]}, {ln})"
+    if func in ("STRBEFORE", "STRAFTER"):
+        col, sep = args[0], args[1]
+        pos = f"instr({col}, {sep})"
+        sep_len = len(str(e[2][1][1]))
+        body = (f"substring({col}, 1, {pos} - 1)"
+                if func == "STRBEFORE"
+                else f"substring({col}, {pos} + {sep_len}, "
+                     f"length({col}))")
+        return (f"(CASE WHEN {col} IS NULL THEN NULL "
+                f"WHEN {pos} > 0 THEN {body} ELSE '' END)")
+    if func == "REPLACE":
+        return (f"regexp_replace({args[0]}, {args[1]}, {args[2]}, "
+                f"'g')")
+    if func == "COALESCE":
+        return f"COALESCE({', '.join(args)})"
     return {"UCASE": f"upper({args[0]})",
             "LCASE": f"lower({args[0]})",
             "STR": args[0],

@@ -1240,3 +1240,67 @@ def test_subquery_inside_optional_rejected(triples):
 def test_trailing_tokens_rejected(triples):
     with pytest.raises(S.SparqlError, match="trailing tokens"):
         S.parse('SELECT ?s WHERE { ?s ?p ?o } }')
+
+
+# ---------------------------------------------------------------------------
+# round 6c: expression builtins (SUBSTR / STRBEFORE / STRAFTER /
+# REPLACE / COALESCE)
+# ---------------------------------------------------------------------------
+
+def test_substr_and_replace(triples):
+    got = run(triples, """
+        SELECT ?s ?a ?b WHERE { ?s "mutate" ?o .
+          BIND(SUBSTR(?s, 1, 5) AS ?a)
+          BIND(REPLACE(?s, "[aeiou]", "_") AS ?b) }""")
+    assert got == [("virus x", "virus", "v_r_s x")]
+
+
+def test_strbefore_strafter_semantics(triples):
+    # separator present → split; absent → EMPTY STRING (§17.4.3.12)
+    got = run(triples, """
+        SELECT ?s ?pre ?post WHERE { ?s "infect" ?o .
+          BIND(STRBEFORE(?s, " ") AS ?pre)
+          BIND(STRAFTER(?s, " ") AS ?post) }""")
+    assert got == [("ebola", "", ""), ("ebola", "", ""),
+                   ("virus x", "virus", "x")]
+
+
+def test_coalesce_over_optional(triples):
+    got = run(triples, """
+        SELECT ?s ?v WHERE { ?s "contain" ?o .
+          OPTIONAL { ?o "encode" ?g }
+          BIND(COALESCE(?g, "none") AS ?v) }""")
+    # cell contains genome (encodes protein); host/self children don't
+    assert got == [("cell", "protein"), ("host", "none"),
+                   ("self", "none")]
+
+
+EXPR_TWIN = [
+    ('SELECT ?s ?a WHERE { ?s "infect" ?o . '
+     'BIND(SUBSTR(?s, 2) AS ?a) }'),
+    ('SELECT ?s ?a ?b WHERE { ?s ?p ?o . '
+     'BIND(STRBEFORE(?s, "u") AS ?a) '
+     'BIND(STRAFTER(?s, "u") AS ?b) }'),
+    ('SELECT DISTINCT ?b WHERE { ?s ?p ?o . '
+     'BIND(REPLACE(?p, "t$", "T") AS ?b) }'),
+    ('SELECT ?s ?v WHERE { ?s "infect" ?o . '
+     'OPTIONAL { ?o "mutate" ?g } '
+     'BIND(COALESCE(?g, ?o, "x") AS ?v) }'),
+]
+
+
+@pytest.mark.parametrize("query", EXPR_TWIN)
+def test_duckdb_twin_expr_builtins(triples, query):
+    assert run(triples, query) == _twin(TRIPLES, query)
+
+
+def test_expr_builtin_arg_validation(triples):
+    with pytest.raises(S.SparqlError, match="literals"):
+        S.parse('SELECT ?s WHERE { ?s ?p ?o . '
+                'BIND(STRAFTER(?s, ?p) AS ?x) }')
+    with pytest.raises(S.SparqlError, match="integers"):
+        S.parse('SELECT ?s WHERE { ?s ?p ?o . '
+                'BIND(SUBSTR(?s, ?p) AS ?x) }')
+    with pytest.raises(S.SparqlError, match="arguments"):
+        S.parse('SELECT ?s WHERE { ?s ?p ?o . '
+                'BIND(SUBSTR(?s) AS ?x) }')
