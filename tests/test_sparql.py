@@ -856,6 +856,14 @@ def test_duckdb_twin_on_pipeline_triples(spark):
          'OPTIONAL { ?o "mutate" ?o2 } }'),
         ('SELECT ?p (COUNT(*) AS ?n) (COUNT(DISTINCT ?s) AS ?heads) '
          'WHERE { ?s ?p ?o } GROUP BY ?p'),
+        # round 6c over realistic terms: subquery + string builtins on
+        # mentions that carry spaces/pipes/unicode
+        ('SELECT ?s ?m WHERE { ?s "infect" ?m . '
+         '{ SELECT ?s (MAX(?o) AS ?m) WHERE { ?s "infect" ?o } '
+         'GROUP BY ?s } }'),
+        ('SELECT DISTINCT ?s ?head ?rest WHERE { ?s "infect" ?o . '
+         'BIND(STRBEFORE(?s, " ") AS ?head) '
+         'BIND(STRAFTER(?s, " | ") AS ?rest) }'),
     ]
     for q in queries:
         got = srt(map(tuple, S.sparql(df, q).collect()))
