@@ -744,7 +744,13 @@ def q_curation_pipeline(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     kept = textops.filter_blocklist(docs, ["src1", "src3"],
                                     key=F.col("source"))
-    capped = textops.cap_per_domain(kept, 10, key=F.col("source"))
+    # staged once (localCheckpoint): capped feeds THREE branches — the
+    # LM training slice, the scoring pass, and the quality join — and
+    # each lazily re-ran the blocklist anti-join + per-source window
+    # (guide §2.4: one exchange, reused; at cluster scale this is the
+    # staged post-cap table every curation stage reads)
+    capped = textops.cap_per_domain(kept, 10,
+                                    key=F.col("source")).localCheckpoint()
     lm = textops.train_bigram_lm(capped.filter(F.col("doc_id") % 2 == 0))
     # staged scores (localCheckpoint): joined lazily, the score branch
     # has no stats and Catalyst falls back to sort-merge plans

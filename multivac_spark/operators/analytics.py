@@ -34,11 +34,18 @@ def _sym(edges: DataFrame, src: str = "head_id",
 def degree_centrality(edges: DataFrame, src: str = "head_id",
                       dst: str = "tail_id") -> DataFrame:
     """(node, degree, centrality_micro): degree/(V-1) scaled to integer
-    micro-units for cross-engine comparison."""
+    micro-units for cross-engine comparison.
+
+    One pass over the edge table: the degree aggregate is materialized
+    once (localCheckpoint — node-count sized) and the node count V is
+    its row count, instead of a second distinct-count action that
+    recomputed the symmetrized edge set from scratch (guide §2.4:
+    the two actions shared no work; this halves the edge scans)."""
     sym = _sym(edges, src, dst)
-    n_nodes = sym.select("u").distinct().count()
-    deg = sym.groupBy(F.col("u").alias("node")) \
-        .agg(F.count("*").alias("degree"))
+    deg = (sym.groupBy(F.col("u").alias("node"))
+           .agg(F.count("*").alias("degree"))
+           .localCheckpoint())
+    n_nodes = deg.count()  # == count(distinct u): deg has one row per node
     return deg.withColumn(
         "centrality_micro",
         F.floor(F.col("degree") * 1_000_000 / F.lit(max(n_nodes - 1, 1)))

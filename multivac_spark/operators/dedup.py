@@ -272,16 +272,27 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
     join is an equi-join per block (the scale path — blocks from
     LSH/IVF or an upstream label); without one it degrades to a
     documented all-pairs for test-scale inputs only."""
+    # Precompute per ROW (not per pair) everything that depends on one
+    # side only: the float→double cast and the L2 norm. The cosine for a
+    # pair is then one dot-product fold plus a division by the two
+    # cached norms — identical arithmetic (the norms are the exact same
+    # sqrt-of-sequential-fold doubles), but the per-candidate work drops
+    # from 3 interpreted O(dim) array folds (+2 casts) to 1 (guide §1.2
+    # "per-task work": the folds run inside the join condition, outside
+    # whole-stage codegen, so each element step pays interpreter cost).
+    vd = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x))
     left = df.select(F.col(id_col).alias("a"),
-                     F.col(vec_col).alias("va"),
+                     vd.alias("va"), nrm.alias("na"),
                      *( [F.col(block_col).alias("blk")] if block_col else []))
     right = df.select(F.col(id_col).alias("b"),
-                      F.col(vec_col).alias("vb"),
+                      vd.alias("vb"), nrm.alias("nb"),
                       *( [F.col(block_col).alias("blk")] if block_col else []))
     joined = (left.join(right, "blk") if block_col
               else left.crossJoin(right))
-    sim = cosine(F.col("va").cast("array<double>"),
-                 F.col("vb").cast("array<double>"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    sim = dot / (F.col("na") * F.col("nb"))
     return (joined.filter(F.col("a") < F.col("b"))
             .withColumn("cos_sim", sim)
             .filter(F.col("cos_sim") >= threshold)
@@ -336,7 +347,14 @@ def remove_repeated_spans(docs: DataFrame, span: int = 50,
                      F.sequence(F.lit(1), F.col("_n") - (span - 1)),
                      _gram_key))
                  .alias("_off", "_g"))
-             .select(id_col, (F.col("_off") + 1).alias("_pos"), "_g"))
+             .select(id_col, (F.col("_off") + 1).alias("_pos"), "_g")
+             # staged once: the dup aggregate AND the probe side of the
+             # canonical-occurrence join both read this table — lazily,
+             # each branch re-evaluated the O(n·span) gram-key transform
+             # (the single most expensive expression of the pass, and it
+             # ran twice). 24 bytes/row — at 100 TB this is the staged
+             # gram table of the Lee-et-al. pipeline, same shape.
+             .localCheckpoint())
     dup = (grams.groupBy("_g")
            .agg(F.count("*").alias("_c"),
                 F.min(F.struct(F.col(id_col).alias("d"),

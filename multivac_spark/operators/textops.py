@@ -131,13 +131,21 @@ def train_bigram_lm(docs: DataFrame, text_col: str = "text"
     slice, drop the tail). Two shuffle-bounded aggregations — the same
     scale shape as tf-idf; the model tables are vocabulary-bounded."""
     bg = docs.select(F.explode(bigram_pairs(F.col(text_col))).alias("b"))
-    bigrams = (bg.select("b.w1", "b.w2")
-               .groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-               .localCheckpoint())
+    bigrams_lazy = (bg.select("b.w1", "b.w2")
+                    .groupBy("w1", "w2").agg(F.count("*").alias("c2")))
     uni = docs.select(F.explode(tokens(F.lower(F.col(text_col))))
                       .alias("w1"))
-    unigrams = (uni.groupBy("w1").agg(F.count("*").alias("c1"))
-                .localCheckpoint())
+    unigrams_lazy = uni.groupBy("w1").agg(F.count("*").alias("c1"))
+    # The two aggregations are independent — materialize them as
+    # CONCURRENT jobs (guide §2.6: actions are only sequential because
+    # driver code calls them sequentially; the second job's tasks
+    # back-fill executors freed by the first job's tail).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_bi = pool.submit(bigrams_lazy.localCheckpoint)
+        f_un = pool.submit(unigrams_lazy.localCheckpoint)
+        bigrams, unigrams = f_bi.result(), f_un.result()
     # model tables are vocabulary-bounded: checkpoint them once so the
     # vocab count here and every downstream scoring pass reuse the
     # materialized aggregates instead of re-running the corpus aggs
