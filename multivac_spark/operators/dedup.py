@@ -151,6 +151,36 @@ def simhash_bits(col: Column, n_bits: int = 16) -> Column:
     return bound(F.transform(tokens(col), lambda t: F.md5(t)), all_bits)
 
 
+def simhash_signatures_agg(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           n_bits: int = 32) -> DataFrame:
+    """(id, _sig) SimHash signatures via explode + per-bit sum
+    aggregation — output-identical to ``simhash_bits`` (bit b = sign of
+    Σ ±1 by parity of md5 hex digit b), but flat-expression: the
+    per-document 32-way fold over a bound digest array runs interpreted
+    outside whole-stage codegen (measured 4.7s of the 6s pair pass at
+    sf0.1); this shape is the ``minhash_signatures_agg`` precedent —
+    one map-side-combinable shuffle of (id, 33 longs).
+
+    Per token the 32 hex-digit parities collapse to ONE long mask
+    (``translate`` hex→parity chars, ``conv`` base-2): bit b of the
+    signature is then  2·Σ_tokens maskbit_b > n_tokens  — the exact
+    integer form of sign(Σ ±1) > 0."""
+    mask = F.conv(F.translate(F.md5(F.col("_tok")),
+                              "0123456789abcdef", "0101010101010101"),
+                  2, 10).cast("long")
+    tok = df.select(F.col(id_col),
+                    F.explode_outer(tokens(F.col(text_col))).alias("_tok"))
+    aggs = [F.coalesce(
+        F.sum(F.shiftrightunsigned(mask, 32 - 1 - b).bitwiseAND(F.lit(1))),
+        F.lit(0)).alias(f"_c{b}") for b in range(n_bits)]
+    agg = tok.groupBy(id_col).agg(F.count("_tok").alias("_nt"), *aggs)
+    bits = [F.when(2 * F.col(f"_c{b}") > F.col("_nt"),
+                   F.lit("1")).otherwise(F.lit("0"))
+            for b in range(n_bits)]
+    return agg.select(id_col, F.concat(*bits).alias("_sig"))
+
+
 def hamming_bits(a: Column, b: Column, n_bits: int) -> Column:
     """Hamming distance between two fixed-width '0'/'1' bit-strings as
     a sum of per-position inequalities — arithmetic identical in the
@@ -183,12 +213,13 @@ def simhash_dup_pairs(df: DataFrame, text_col: str = "text",
         raise ValueError(f"n_bits={n_bits} must divide into "
                          f"max_hamming+1={bands} equal bands")
     width = n_bits // bands
-    sigs = (df.select(F.col(id_col),
-                      simhash_bits(F.col(text_col), n_bits)
-                      .alias("_sig"))
+    sigs = (simhash_signatures_agg(df, text_col, id_col, n_bits)
             .localCheckpoint())  # staged signature table: every
     #                              branch below reads it instead of
-    #                              recomputing the n_bits·|tokens| folds
+    #                              recomputing the signatures (the agg
+    #                              shape replaces the interpreted
+    #                              n_bits-way fold of simhash_bits —
+    #                              output-identical, pytest-pinned)
     # Band + verify over DISTINCT signatures, then expand to document
     # pairs by signature-group join. Output-identical to banding the
     # document table directly, but the quadratic candidate work runs
