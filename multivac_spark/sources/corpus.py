@@ -56,12 +56,24 @@ def _mk_tok(i: int, text: str, lemma: str, pos: str, head: int, dep: str) -> dic
             "head": head, "dep": dep}
 
 
+def _weighted_draw(rng: np.random.RandomState, cdf: np.ndarray) -> int:
+    """Exact replica of ``rng.choice(n, p=w)`` for a scalar draw against
+    a precomputed normalized CDF: RandomState.choice builds
+    ``cdf = p.cumsum(); cdf /= cdf[-1]`` and then takes
+    ``cdf.searchsorted(random_sample(), side='right')`` — one
+    ``random_sample`` consumed either way, so the RNG stream, and with
+    it every generated document, is bit-identical (pinned by test).
+    Caching the CDF removes choice()'s per-call cumsum + validation
+    (~40% of document synthesis time under cProfile)."""
+    return int(cdf.searchsorted(rng.random_sample(), side="right"))
+
+
 def _sample_noun(rng: np.random.RandomState) -> tuple[str, str]:
     """Return (surface, lemma=concept). Zipfian over concepts → real skew.
     Samples only unambiguous (NN*-tagged) surface forms so gold parses
     stay exact."""
     concepts = vocab.effective_concepts()
-    ci = rng.choice(len(concepts), p=_concept_weights())
+    ci = _weighted_draw(rng, _concept_cdf())
     concept = concepts[ci]
     variants = vocab.effective_noun_variants()[concept]
     # base form 70%, variants split the rest → near-dup mentions exist
@@ -72,6 +84,12 @@ def _sample_noun(rng: np.random.RandomState) -> tuple[str, str]:
 
 _CONCEPT_W = None
 _VERB_W = None
+
+
+def _cdf_of(w: np.ndarray) -> np.ndarray:
+    cdf = w.cumsum()
+    cdf /= cdf[-1]
+    return cdf
 
 
 def _concept_weights() -> np.ndarray:
@@ -86,6 +104,32 @@ def _verb_weights() -> np.ndarray:
     if _VERB_W is None:
         _VERB_W = vocab.zipf_weights(len(vocab.VERB_FORMS))
     return _VERB_W
+
+
+_CONCEPT_CDF = None
+_VERB_CDF = None
+_HOST_CDF = None
+
+
+def _concept_cdf() -> np.ndarray:
+    global _CONCEPT_CDF
+    if _CONCEPT_CDF is None:
+        _CONCEPT_CDF = _cdf_of(_concept_weights())
+    return _CONCEPT_CDF
+
+
+def _verb_cdf() -> np.ndarray:
+    global _VERB_CDF
+    if _VERB_CDF is None:
+        _VERB_CDF = _cdf_of(_verb_weights())
+    return _VERB_CDF
+
+
+def _host_cdf() -> np.ndarray:
+    global _HOST_CDF
+    if _HOST_CDF is None:
+        _HOST_CDF = _cdf_of(_host_weights())
+    return _HOST_CDF
 
 
 def _np_tokens(rng: np.random.RandomState, start_i: int, verb_slot: int,
@@ -158,7 +202,7 @@ def gen_sentence_tokens(rng: np.random.RandomState) -> list[dict]:
 
     verb_idx = i
     lemmas = list(vocab.VERB_FORMS)
-    vlemma = lemmas[int(rng.choice(len(lemmas), p=_verb_weights()))]
+    vlemma = lemmas[_weighted_draw(rng, _verb_cdf())]
     sg, pl, past = vocab.VERB_FORMS[vlemma]
     form, pos = (sg, "VBZ") if rng.random_sample() < 0.6 else (past, "VBD")
     toks = list(subj_toks)
@@ -251,7 +295,7 @@ def gen_document(doc_index: int, with_gold: bool = False):
     """Generate one page. Returns a row dict; with_gold=True also returns
     the list of gold token-lists (grammar sentences only, pre-noise)."""
     rng = doc_rng(doc_index)
-    host = 1 + int(rng.choice(N_HOSTS, p=_host_weights()))
+    host = 1 + _weighted_draw(rng, _host_cdf())
     url = f"https://host-{host:03d}.example/article/{doc_index:09d}"
     ts = WARC_EPOCH + timedelta(seconds=int((doc_index * 7919) % 2_592_000))
     r = rng.random_sample()
