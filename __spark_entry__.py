@@ -489,15 +489,7 @@ def q_text_signals(spark, sf_dir):
     pytest) — and one pass over the corpus is also the 100 TB shape:
     these signals should never cost four scans."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        textops.token_count(F.col("text")).alias("n_tokens"),
-        textops.bpe_token_count(F.col("text")).alias("n_bpe"),
-        textops.char_sum(F.col("text")).alias("n_chars"),
-        textops.stopword_count(F.col("text")).alias("n_stopwords"),
-        textops.digit_token_count(F.col("text")).alias("n_digit_tokens"),
-        textops.langid(F.col("text")).alias("lang_pred"),
-        textops.fingerprint(F.col("text")).alias("fp"))
+    return textops.text_signals(docs)
 
 
 def _text_signals_sql() -> str:

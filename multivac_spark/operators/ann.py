@@ -17,7 +17,20 @@ import hashlib
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .dedup import cosine
+from .dedup import cosine  # noqa: F401  (re-exported for callers)
+
+
+def _norm(vd) -> F.Column:
+    """L2 norm as the exact sqrt-of-sequential-fold ``cosine`` uses —
+    precomputed per ROW before a join so each candidate pair pays one
+    dot-product fold instead of three interpreted O(dim) folds (guide
+    §1.2 per-task work; same arithmetic, same doubles)."""
+    return F.sqrt(F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -25,13 +38,14 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      q_id_col: str = "q_id") -> DataFrame:
     """Exact top-k by cosine: broadcast the query side, rank per query.
     Output (q_id, neighbor, rank, cos_sim_micro) — integer-scaled
-    similarity for cross-engine comparison."""
+    similarity for cross-engine comparison. Casts and norms are
+    precomputed per row (``_norm``), not per pair."""
+    qv = F.col(vec_col).cast("array<double>")
     q = F.broadcast(queries.select(F.col(q_id_col).alias("q_id"),
-                                   F.col(vec_col).alias("qv")))
+                                   qv.alias("qv"), _norm(qv).alias("qn")))
     c = corpus.select(F.col(id_col).alias("neighbor"),
-                      F.col(vec_col).alias("cv"))
-    sim = cosine(F.col("qv").cast("array<double>"),
-                 F.col("cv").cast("array<double>"))
+                      qv.alias("cv"), _norm(qv).alias("cn"))
+    sim = _dot("qv", "cv") / (F.col("qn") * F.col("cn"))
     scored = (q.crossJoin(c)
               .filter(F.col("q_id") != F.col("neighbor"))
               .withColumn("cos_sim_micro",
@@ -146,9 +160,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         assign_stage("q_id", n_probe),
         schema="q_id long, vec array<double>, centroid int")
 
-    sim = cosine(F.col("qv"), F.col("cv"))
+    sim = _dot("qv", "cv") / (F.col("qn") * F.col("cn"))
     scored = (q_assigned.withColumnRenamed("vec", "qv")
-              .join(c_assigned.withColumnRenamed("vec", "cv"), "centroid")
+              .withColumn("qn", _norm(F.col("qv")))
+              .join(c_assigned.withColumnRenamed("vec", "cv")
+                    .withColumn("cn", _norm(F.col("cv"))), "centroid")
               .filter(F.col("q_id") != F.col("neighbor"))
               .withColumn("cos_sim_micro",
                           F.floor(sim * 1_000_000).cast("long"))
@@ -171,11 +187,13 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     cast = lambda c: F.col(c).cast("array<double>")
 
     c = corpus.select(F.col(id_col).alias("neighbor"),
-                      F.col(vec_col).alias("cv"),
+                      cast(vec_col).alias("cv"),
+                      _norm(cast(vec_col)).alias("cn"),
                       bucket_key(cast(vec_col), planes).alias("bkey"))
 
     qsig = queries.select(F.col(q_id_col).alias("q_id"),
-                          F.col(vec_col).alias("qv"),
+                          cast(vec_col).alias("qv"),
+                          _norm(cast(vec_col)).alias("qn"),
                           bucket_key(cast(vec_col), planes).alias("sig"))
     # probe set: the bucket itself + all 1-bit flips
     probes = F.array(
@@ -185,10 +203,9 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                           F.lit("0")).otherwise(F.lit("1")),
                    F.substring("sig", i + 2, n_planes - i - 1))
           for i in range(n_planes)])
-    q = qsig.select("q_id", "qv", F.explode(probes).alias("bkey"))
+    q = qsig.select("q_id", "qv", "qn", F.explode(probes).alias("bkey"))
 
-    sim = cosine(F.col("qv").cast("array<double>"),
-                 F.col("cv").cast("array<double>"))
+    sim = _dot("qv", "cv") / (F.col("qn") * F.col("cn"))
     scored = (q.join(c, "bkey")
               .filter(F.col("q_id") != F.col("neighbor"))
               .withColumn("cos_sim_micro",

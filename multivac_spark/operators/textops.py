@@ -101,6 +101,51 @@ def fingerprint(col: Column, k: int = 5) -> Column:
     return F.md5(F.concat_ws(" ", F.slice(tokens(col), 1, k)))
 
 
+def text_signals(docs, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """All seven per-row text signals in one projection with SHARED
+    tokenizations: ``tokens(text)`` feeds n_tokens / n_chars /
+    n_digit_tokens / fp and ``tokens(lower(text))`` feeds n_stopwords /
+    lang_pred — each computed ONCE per row. The independent column
+    formulation re-tokenized the document ~6× (Catalyst does no CSE
+    across HOF expressions; guide §1.2 per-task work). Evaluation-once
+    is forced by routing the signal struct through ``explode(array(…))``:
+    a Generate operator materializes the struct per row, so the field
+    projections read it instead of re-evaluating the expression per
+    field. Signal expressions are verbatim the single-signal operators'
+    (same names, types, values — pytest-pinned equal)."""
+    from .dedup import bound
+
+    col = F.col(text_col)
+
+    def signals(tk, lk):
+        pairs = [(lang, F.size(F.filter(lk, lambda t: t.isin(m))))
+                 for lang, m in sorted(LANG_MARKERS.items())]
+        best = F.greatest(*[s for _, s in pairs])
+        lang_pred = F.lit("und")
+        for lang, score in reversed(pairs):  # earlier langs win ties
+            lang_pred = F.when((score == best) & (best > 0),
+                               F.lit(lang)).otherwise(lang_pred)
+        return F.struct(
+            F.size(tk).alias("n_tokens"),
+            F.size(F.regexp_extract_all(
+                col, F.lit(BPE_SPLIT_PATTERN), 0)).alias("n_bpe"),
+            F.aggregate(F.transform(tk, lambda t: F.length(t)),
+                        F.lit(0), lambda acc, x: acc + x).alias("n_chars"),
+            F.size(F.filter(lk, lambda t: t.isin(STOPWORDS)))
+            .alias("n_stopwords"),
+            F.size(F.filter(tk, lambda t: t.rlike("[0-9]")))
+            .alias("n_digit_tokens"),
+            lang_pred.alias("lang_pred"),
+            F.md5(F.concat_ws(" ", F.slice(tk, 1, 5))).alias("fp"))
+
+    sig = bound(tokens(col),
+                lambda tk: bound(tokens(F.lower(col)),
+                                 lambda lk: signals(tk, lk)))
+    return (docs.select(F.col(id_col), F.explode(F.array(sig)).alias("_s"))
+            .select(id_col, "_s.*"))
+
+
 # --------------------------------------------------------------------------
 # bigram language-model quality score (CCNet-style LM filtering)
 # --------------------------------------------------------------------------

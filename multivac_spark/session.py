@@ -49,7 +49,7 @@ def get_spark(
         # 128 MB scan splits: the documents table rows are ~KB-sized, this
         # keeps task counts sane at 100 TB while bounding task memory.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
