@@ -744,10 +744,14 @@ def q_curation_pipeline(spark, sf_dir):
     capped = textops.cap_per_domain(kept, 10,
                                     key=F.col("source")).localCheckpoint()
     lm = textops.train_bigram_lm(capped.filter(F.col("doc_id") % 2 == 0))
-    # staged scores (localCheckpoint): joined lazily, the score branch
-    # has no stats and Catalyst falls back to sort-merge plans
+    # scored is NOT checkpointed (r7): with `capped` staged and
+    # `survivors` checkpointed right below, the scoring pass runs
+    # exactly once inside the survivors job — the r5-era ckpt only
+    # guarded against double evaluation that no longer exists, and
+    # dropping it removes one materialization job (A/B: faster, and
+    # the doc_id join is AQE-planned from the real shuffle sizes)
     scored = (textops.lm_score(capped, lm)
-              .select("doc_id", "lm_score_e4").localCheckpoint())
+              .select("doc_id", "lm_score_e4"))
     quality = (capped.join(scored, "doc_id")
                .withColumn("dup3_e4",
                            textops.dup_ngram_fraction(F.col("text"), 3)))
