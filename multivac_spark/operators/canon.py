@@ -526,28 +526,33 @@ def _cluster_entities_driver(mentions: DataFrame, embeddings: DataFrame,
                   for v in emb_pdf["vector"]]) \
         if len(emb_pdf) else np.zeros((0, EMBED_DIM))
 
-    # Vectorized mention averaging: one flat gather + segment-sum
-    # replaces 50k np.mean calls (1.2s → ~20ms at the 50k dictionary).
-    # np.add.reduceat sums each mention's token rows sequentially —
-    # the same left-to-right fold np.mean's add.reduce performs over
-    # axis 0, so the averages are bit-identical (pinned in pytest).
+    # Vectorized mention averaging replacing 50k np.mean calls (1.2s →
+    # ~20ms at the 50k dictionary). np.mean over axis 0 is a STRICT
+    # left-to-right sequential fold (verified for k up to 1000; note
+    # np.add.reduceat is NOT — it diverges in the last ulp from k=3),
+    # so mentions are grouped by token count k and summed by k-1
+    # successive row adds, vectorized ACROSS mentions — bit-identical
+    # to per-mention np.mean (pinned in tests/test_r07_optimizations).
     kept: list[str] = []
-    flat_idx: list[int] = []
-    counts: list[int] = []
+    rows_per_mention: list[list[int]] = []
+    by_k: dict[int, list[int]] = defaultdict(list)
     for m, toks in zip(names, splits):
         rows = [tok_row[t] for t in toks if t in tok_row]
         if not rows:
             continue  # OOV mention: drops out, like rdf_graph.py:282-292
+        by_k[len(rows)].append(len(kept))
         kept.append(m)
-        flat_idx.extend(rows)
-        counts.append(len(rows))
+        rows_per_mention.append(rows)
     if not kept:
         return spark.createDataFrame(
             [], "mention string, label string, rep string")
-    cnt = np.asarray(counts)
-    offsets = np.concatenate(([0], np.cumsum(cnt)[:-1]))
-    X = np.add.reduceat(E[np.asarray(flat_idx)], offsets, axis=0) \
-        / cnt[:, None]
+    X = np.empty((len(kept), E.shape[1] if len(E) else EMBED_DIM))
+    for k, mention_pos in by_k.items():
+        idx2d = np.asarray([rows_per_mention[p] for p in mention_pos])
+        acc = E[idx2d[:, 0]].copy()
+        for j in range(1, k):
+            acc += E[idx2d[:, j]]
+        X[np.asarray(mention_pos)] = acc / k
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     planes = _seeded_planes(n_planes, X.shape[1])
     bits = (Xn @ planes.T > 0)
